@@ -1,0 +1,96 @@
+"""Reference-parity wordcount core.
+
+Semantics pinned by the reference's single-threaded run (ground truth,
+SURVEY.md §2b; the reference's multithread boundary bugs §2c are
+deliberately NOT replicated):
+
+- A word is a maximal run of ``[A-Za-z0-9]`` (reference ``isWordChar``,
+  src/main.c:187-189). Underscore, hyphen, apostrophe, and all
+  non-ASCII characters are separators. NOT ``\\w`` (underscore!), NOT
+  Unicode classes.
+- Case-sensitive, no normalization (verified: Hello/hello/HELLO are 3
+  distinct keys).
+- Counts widened from the reference's uint32 (src/chash.h:19) to int64
+  (documented divergence; strictly more capable).
+- Output ordering: ascending bytewise on word (reference qsort+strcmp,
+  src/main.c:49-51,168). Spark's UTF8String binary comparison matches
+  exactly on the ASCII-only alphabet the tokenizer admits.
+
+Spark-first design (vs the reference's manual pipeline):
+- The reference's byte-range partitioner + word-boundary protocol
+  (src/main.c:120-153,202-215) is subsumed by Spark's input-split
+  planning and TextInputFormat line-boundary handling — tokenization
+  happens within complete lines, no custom code.
+- The reference's fused map+combine into a shared locked hashmap
+  (src/chash.c:100-153) is subsumed by Catalyst's partial→final
+  HashAggregate: map-side combine happens automatically inside the
+  scan stage, the only shuffle moves (word, partial_count) pairs.
+  Skewed tokens (stop-word-like) are absorbed by partial aggregation.
+- Everything stays in whole-stage codegen: split/explode/filter/agg
+  are JVM built-ins; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The exact character class of the reference's isWordChar (C-locale
+# isalnum, src/main.c:187-189). Keep in sync with its negation below.
+WORD_REGEX = "[A-Za-z0-9]+"
+SEPARATOR_REGEX = "[^A-Za-z0-9]+"
+
+
+def words_array(text: Column | str) -> Column:
+    """Array-of-words column for one text value (no explode).
+
+    ``split`` on the separator class yields a leading "" element when
+    the text starts with a separator (and one trailing "" when it ends
+    with one); callers must drop empties.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, SEPARATOR_REGEX)
+
+
+def tokenize(df: DataFrame, text_col: str = "text", word_col: str = "word") -> DataFrame:
+    """Explode text rows into one row per word occurrence.
+
+    Equivalent of the reference's per-thread FSM scan
+    (src/main.c:217-266) expressed declaratively; Catalyst fuses
+    split+explode+filter into one codegen'd pass over the input.
+    """
+    return (
+        df.select(F.explode(words_array(text_col)).alias(word_col))
+        .where(F.length(word_col) > 0)
+    )
+
+
+def count_words(df: DataFrame, text_col: str = "text", sort: bool = True) -> DataFrame:
+    """The reference's one query: word-occurrence counts.
+
+    Returns DataFrame[word: string, count: bigint], sorted ascending by
+    word when ``sort`` (reference output contract, src/main.c:168-174).
+
+    Scale notes: partial aggregation makes the shuffle proportional to
+    (distinct words × partitions), not corpus size; the final global
+    sort is over the distinct-word set only (≪ corpus size), which is
+    a range-partitioned sort — fine at 100 TB inputs.
+    """
+    counts = tokenize(df, text_col).groupBy("word").count()
+    return counts.orderBy("word") if sort else counts
+
+
+def count_words_in_file(spark: SparkSession, path: str, sort: bool = True) -> DataFrame:
+    """File → word counts. Distributed, out-of-core replacement for the
+    reference's whole-file slurp (src/main.c:74-110): spark.read.text
+    streams line-split input splits instead of requiring the input to
+    fit in RAM.
+    """
+    return count_words(spark.read.text(path), text_col="value", sort=sort)
+
+
+def format_kv_lines(df: DataFrame, key_col: str = "word", val_col: str = "count") -> DataFrame:
+    """``key=value`` line formatting (reference sink, src/main.c:172-174)."""
+    return df.select(
+        F.concat_ws("=", F.col(key_col), F.col(val_col).cast("string")).alias("line")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Replaces the reference CLI's ``num_threads`` knob (reference
+src/main.c:53-70): Spark owns parallelism via input splits and shuffle
+partitions, so the knob becomes optional tuning rather than a required
+argument.
+
+Defaults are chosen for the 100 TB design point:
+- AQE on (runtime coalescing, skew-join splitting, join re-planning)
+- Arrow on (vectorized Python interop for the pandas-UDF operators)
+- UTC session timezone (deterministic timestamp semantics)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small-dim broadcast: region/nation/supplier-class tables stay well
+    # under this even at SF large; customer/orders never should be hinted.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "mapreducewordoccurences-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch the active) SparkSession with engine defaults.
+
+    ``shuffle_partitions`` should be sized so post-shuffle partitions fit
+    executor memory at the target scale; AQE coalesces down at runtime,
+    so erring high is safe.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
