@@ -1,0 +1,66 @@
+"""Embedding-cosine near-duplicate detection.
+
+Semantic near-dups: pairs whose embedding cosine ≥ threshold. The
+scale path bucketizes with sign-LSH first (functions/similarity.py)
+so only plausible pairs are scored; ``exact=True`` scores all pairs
+(O(n²) — verifier tier / small inputs only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.functions.similarity import (
+    cosine_similarity,
+    lsh_bucket,
+    _hyperplanes,
+)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs (a < b) with cosine(vec_a, vec_b) ≥ threshold →
+    (id_a, id_b, cos_sim)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if exact:
+        cand = a.join(b, on=F.col("id_a") < F.col("id_b"), how="inner")
+    else:
+        parts = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+            parts.append(
+                df.select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.lit(t).alias("__table"),
+                    lsh_bucket(vec_col, planes).alias("__bucket"),
+                )
+            )
+        bucketed = parts[0]
+        for p in parts[1:]:
+            bucketed = bucketed.unionByName(p)
+        la = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__table", "__bucket"
+        )
+        lb = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__table", "__bucket"
+        )
+        cand = (
+            la.join(lb, on=["__table", "__bucket"], how="inner")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return cand.select(
+        "id_a", "id_b", cosine_similarity("__va", "__vb").alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

@@ -1,0 +1,142 @@
+"""MinHash + LSH banding near-duplicate detection — the 100 TB-scale
+dedup tier (the shape used by web-scale corpus dedup à la
+GPT-3/Gopher/RefinedWeb pipelines).
+
+Pipeline: shingle → 64-bit base hash → ``num_perm`` universal-hash
+permutations h_i(x) = (a_i·x + b_i) mod p → per-doc signature
+(array of per-permutation minima) → split signature into ``bands``
+bands of ``rows_per_band`` → docs sharing any band-hash become
+candidates → exact signature agreement estimates Jaccard.
+
+Why this scales where ngram.py's inverted index doesn't: candidate
+generation is bounded by band-bucket collisions (tunable via the
+S-curve: P(candidate) = 1-(1-J^rows)^bands), independent of shingle
+document frequency. Everything is built-in array/agg expressions —
+one explode per (doc, shingle), one groupBy per doc, one explode per
+(doc, band), one self-join on (band, band_hash).
+
+Base hash is md5-derived (portable/deterministic across engines and
+runs), not Spark's internal murmur.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.dedup.ngram import shingles_df
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
+def _base_hash(col: Column) -> Column:
+    """Portable 60-bit integer hash of a string: md5 hex → first 15
+    nibbles → bigint. Deterministic everywhere md5 exists."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<bigint> of length num_perm).
+
+    One shuffle (groupBy id); the num_perm minima fold into a single
+    partial-aggregated pass, so shuffle rows = docs, not shingles.
+    """
+    params = _perm_params(num_perm, seed)
+    sh = shingles_df(df, id_col, text_col, n).select(
+        F.col(id_col), _base_hash(F.col("shingle")).alias("__h")
+    )
+    # a·h reaches ~2^121 — far past BIGINT (ANSI would error on
+    # overflow) — so the permutation arithmetic runs in DECIMAL(38,0)
+    # (2^121 ≈ 2.7e36 fits) and only the mod-p result narrows to long.
+    h_dec = F.col("__h").cast("decimal(20,0)")
+    mins = [
+        F.min(
+            ((h_dec * F.lit(a).cast("decimal(20,0)") + F.lit(b)) % F.lit(_MERSENNE_P))
+            .cast("long")
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, scored by estimated Jaccard
+    (signature agreement rate), filtered at ``threshold``.
+
+    Returns (doc_a, doc_b, est_jaccard). With num_perm=64, bands=16
+    (4 rows/band) the S-curve midpoint sits near J≈0.5 — catches
+    J≥0.7 pairs with >99% probability.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("signature").alias("__sig_a"), "band", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("signature").alias("__sig_b"), "band", "band_hash"
+    )
+    cand = (
+        a.join(b, on=["band", "band_hash"], how="inner")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= threshold
+    )

@@ -1,0 +1,87 @@
+"""N-gram (shingle) Jaccard near-duplicate detection via an inverted
+index self-join.
+
+Exact Jaccard over word n-gram shingle sets:
+  J(A,B) = |A∩B| / (|A|+|B|-|A∩B|)
+
+Plan shape: docs → distinct shingles (explode) → self-join on shingle
+(the inverted index: only docs sharing ≥1 shingle ever meet) → count
+shared shingles per pair → join per-doc set sizes → filter ≥ threshold.
+
+Scale notes: the pair blow-up concentrates in high-document-frequency
+shingles (a shingle shared by d docs contributes d² pairs), so
+``max_shingle_df`` drops those posting lists — standard practice, and
+near-dup pairs almost always share *rare* shingles too. For corpus-wide
+dedup beyond ~10⁷ docs prefer MinHash-LSH (minhash.py), which bounds
+candidate generation by banding instead of posting-list length; this
+exact operator is the verifier/oracle tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.functions.text import tokens
+
+
+def shingle_array(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles ('w1 w2 w3' strings), lowercased.
+
+    Docs with fewer than n tokens yield an empty array (guard needed:
+    Spark's sequence(1, 0) would count DOWN, not produce empty).
+    """
+    toks = tokens(text, lowercase=True)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exploded inverted-index rows: (id, shingle), distinct per doc."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs (a < b) with shingle-Jaccard ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard). jaccard is an int/int divide —
+    bit-deterministic across engines.
+    """
+    sh = shingles_df(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("shingle"), on="shingle", how="left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle", how="inner")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

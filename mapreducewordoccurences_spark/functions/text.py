@@ -1,0 +1,159 @@
+"""Text-analysis functions for training-data pipelines.
+
+All column expressions are JVM built-ins (regexp/array functions) —
+no Python UDFs in the hot path, so whole-stage codegen holds and the
+same expressions run unchanged over 100 TB of `documents`-shaped
+parquet.
+
+Tokenization here intentionally reuses the reference's character
+class (case options aside): maximal ``[A-Za-z0-9]+`` runs
+(src/main.c:187-189; SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.core.wordcount import WORD_REGEX
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str, lowercase: bool = False) -> Column:
+    """array<string> of word tokens (maximal alphanumeric runs)."""
+    col = _c(text)
+    if lowercase:
+        col = F.lower(col)
+    return F.regexp_extract_all(col, F.lit(WORD_REGEX), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    """int token count — whitespace-free, regex-defined."""
+    return F.size(tokens(text))
+
+
+def alnum_chars(text: Column | str) -> Column:
+    """Count of alphanumeric characters."""
+    return F.length(F.regexp_replace(_c(text), "[^A-Za-z0-9]", ""))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document statistics: token counts, distinct tokens, average
+    token length, alphanumeric ratio. Pure projection — no shuffle."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(_c(text_col))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        (alnum_chars(text_col) / F.nullif(n_tok, F.lit(0))).alias("avg_token_len"),
+        (alnum_chars(text_col) / F.nullif(n_chars, F.lit(0))).alias("alnum_ratio"),
+    )
+
+
+# Small per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately tiny and ASCII-only; real pipelines would plug in a
+# model, but the operator shape (score per lang → argmax) is the same.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "est", "des", "une", "dans", "que"],
+    "zh": [],  # non-Latin scripts score 0 under this ASCII heuristic
+}
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit-rate, argmax.
+
+    Scores = (#tokens found in lang's stopword list) / #tokens.
+    Deterministic tie-break: lexicographically first language code.
+    Emits (id, lang_guess, lang_score).
+    """
+    sw = stopwords or STOPWORDS
+    toks = tokens(text_col, lowercase=True)
+    n_tok = F.size(toks)
+    scored = []
+    for lang in sorted(sw):
+        wl = F.array([F.lit(w) for w in sw[lang]]) if sw[lang] else F.array().cast("array<string>")
+        hits = F.size(F.array_intersect(F.array_distinct(toks), wl))
+        score = hits / F.nullif(n_tok, F.lit(0))
+        scored.append(F.struct(F.coalesce(score, F.lit(0.0)).alias("score"), F.lit(lang).alias("lang")))
+    # argmax: max of (score, lang) struct ordering, then invert lang for
+    # lexicographic-first tie-break via negated comparison trick:
+    # array_max picks highest score; ties broken by lang DESC under
+    # struct ordering, so compare on (score, reversed rank) instead.
+    best = F.array_max(
+        F.array(*[
+            F.struct(s["score"].alias("score"), F.lit(-i).alias("rank"), s["lang"].alias("lang"))
+            for i, s in enumerate(scored)
+        ])
+    )
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("lang_guess"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite document-quality heuristics (Gopher/C4-style cheap
+    filters): length, mean token length window, alnum ratio, stopword
+    presence. Emits components plus a [0,1] composite ``quality``.
+    Pure projection — streams at scan speed."""
+    toks = tokens(text_col, lowercase=True)
+    n_tok = F.size(toks)
+    n_chars = F.length(_c(text_col))
+    avg_len = alnum_chars(text_col) / F.nullif(n_tok, F.lit(0))
+    en_sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    sw_ratio = F.size(F.array_intersect(F.array_distinct(toks), en_sw)) / F.lit(float(len(STOPWORDS["en"])))
+    alnum_r = alnum_chars(text_col) / F.nullif(n_chars, F.lit(0))
+    len_ok = (n_tok >= 10) & (n_tok <= 100000)
+    word_len_ok = (avg_len >= 2.0) & (avg_len <= 12.0)
+    quality = (
+        F.when(len_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(word_len_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.coalesce(alnum_r, F.lit(0.0)) * 0.25
+        + F.least(sw_ratio * 2, F.lit(1.0)) * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        alnum_r.alias("alnum_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def doc_fingerprint(text: Column | str, normalize: bool = True) -> Column:
+    """Deterministic 128-bit content fingerprint (hex) for exact-dup
+    detection: md5 over whitespace-collapsed, lowercased text.
+
+    Engine-portable: md5 is identical in Spark, DuckDB, Python —
+    unlike Spark's internal murmur ``hash()``."""
+    col = _c(text)
+    if normalize:
+        col = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.md5(col)
+
+
+def rolling_hash_fingerprint(text: Column | str, window: int = 8, mod: int = 1 << 61) -> Column:
+    """Winnowing-style rolling fingerprint: min of polynomial rolling
+    hashes over ``window``-token windows. Cheap locality-sensitive
+    summary; equal fingerprints → almost surely a shared window."""
+    toks = tokens(text, lowercase=True)
+    win = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.conv(F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))), 1, 15), 16, 10).cast("long") % mod,
+    )
+    return F.array_min(win)

@@ -1,0 +1,158 @@
+"""Join operators.
+
+The reference has no joins at all (SURVEY.md §2d) — hash/sort-merge/
+broadcast/semi/anti are Spark built-ins reached through ``df.join``.
+What Spark's DataFrame API lacks natively is the time-series as-of
+join and an ergonomic range join; both are implemented here as
+compositions of built-in operators (no Python in the data path), so
+Catalyst/AQE still own the physical strategy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Rows of ``left`` with ≥1 match in ``right`` (EXISTS). Built-in
+    left_semi: right side never materializes into the output, and AQE
+    can pick broadcast when right is small."""
+    return left.join(right, on=_as_list(on), how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Rows of ``left`` with no match in ``right`` (NOT EXISTS)."""
+    return left.join(right, on=_as_list(on), how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of (nearest-timestamp) join, Spark-first.
+
+    For each left row, attach the right row with the same ``on`` keys
+    and the greatest ``right_ts`` <= ``left_ts`` (direction="backward",
+    inclusive) or the smallest ``right_ts`` >= ``left_ts`` ("forward").
+
+    Implementation: union the two inputs tagged by side, then one
+    window pass per ``on`` group ordered by timestamp with a running
+    ``last(payload, ignorenulls)`` (backward) / ``first`` (forward).
+    Cost at scale: exactly ONE shuffle (hash partition by ``on``) plus
+    an in-partition sort — the same cost as a sort-merge join, with no
+    per-row Python and no range-explosion. This beats the naive
+    join+filter+argmax (which shuffles twice and can explode) and the
+    pandas ``merge_asof`` route (which forces Arrow transfer of both
+    sides). Hot keys land on one partition; if a key is pathologically
+    hot, pre-split by a time-bucket salt before calling.
+
+    Ties: a right row at exactly ``left_ts`` matches (inclusive), as in
+    pandas ``merge_asof`` and DuckDB ASOF JOIN.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = _as_list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    payload_cols = [right_ts, *right_cols]
+    payload_schema = right.select(*payload_cols).schema
+
+    lhs = left.select(
+        *[F.col(c) for c in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(payload_schema).alias("__rrow"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(left.schema).alias("__lrow"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__rrow"),
+    )
+    unioned = lhs.unionByName(rhs)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → inclusive match
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match = F.last("__rrow", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.first("__rrow", ignorenulls=True).over(w)
+
+    matched = unioned.withColumn("__match", match).where(F.col("__is_left") == 1)
+    left_names = set(left.columns)
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    for c in payload_cols:
+        out_name = c + suffix if c in left_names else c
+        out_cols.append(F.col(f"__match.{c}").alias(out_name))
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_point: str,
+    right_lower: str,
+    right_upper: str,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join: left.point ∈ [right.lower, right.upper).
+
+    Naive form is an equi-join on ``on`` plus two range predicates —
+    Catalyst plans that as a join with post-filter, which is fine when
+    ``on`` is selective. When intervals are short relative to the point
+    domain, pass ``bucket_width`` to add a bucket equi-key on both
+    sides (intervals explode into the buckets they overlap), turning
+    the plan into a proper equi-join that scales: shuffle is then
+    proportional to data + interval/bucket overlap, never the cross
+    product.
+    """
+    keys = _as_list(on)
+    cond = (F.col(f"__l.{left_point}") >= F.col(f"__r.{right_lower}")) & (
+        F.col(f"__l.{left_point}") < F.col(f"__r.{right_upper}")
+    )
+    for k in keys:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+
+    if bucket_width is None:
+        out = left.alias("__l").join(right.alias("__r"), on=cond, how="inner")
+        return out.select("__l.*", *[F.col(f"__r.{c}").alias(c) for c in right.columns if c not in keys])
+
+    lb = left.withColumn("__bucket", (F.col(left_point) / F.lit(bucket_width)).cast("long"))
+    rb = right.withColumn(
+        "__buckets",
+        F.sequence(
+            (F.col(right_lower) / F.lit(bucket_width)).cast("long"),
+            (F.col(right_upper) / F.lit(bucket_width)).cast("long"),
+        ),
+    ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
+    cond_b = cond & (F.col("__l.__bucket") == F.col("__r.__bucket"))
+    out = lb.alias("__l").join(rb.alias("__r"), on=cond_b, how="inner")
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(c) for c in right.columns if c not in keys],
+    )

@@ -1,0 +1,564 @@
+"""Query catalog: every operator surface exposed as a named
+(spark, sf_dir) -> DataFrame query, with a matching ANSI-SQL oracle
+(DuckDB) where SQL can express the semantics.
+
+Cross-engine determinism rules used throughout (see
+operators/aggregates.py):
+- money/double SUM/AVG go through DECIMAL(28,s) per-row casts → exact,
+  order-independent sums → final CAST TO DOUBLE. The oracle mirrors
+  the identical casts.
+- every window/top-k ORDER BY is made total with a unique tiebreak.
+- ratios are single int/int divides (deterministic IEEE) — no float
+  accumulation.
+- event timestamps are int64 epoch-nanos on both sides (Spark:
+  nanosAsLong; DuckDB: epoch_ns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.core.wordcount import count_words
+from mapreducewordoccurences_spark.dedup.exact import exact_dup_groups
+from mapreducewordoccurences_spark.dedup.minhash import minhash_lsh_pairs
+from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
+from mapreducewordoccurences_spark.dedup.simhash import simhash_near_dup_pairs
+from mapreducewordoccurences_spark.functions.similarity import brute_force_knn, lsh_knn
+from mapreducewordoccurences_spark.functions.text import language_id, quality_score, text_stats
+from mapreducewordoccurences_spark.operators.aggregates import decimal_avg, decimal_sum
+from mapreducewordoccurences_spark.operators.joins import anti_join, asof_join, semi_join
+from mapreducewordoccurences_spark.operators.windows import running_agg, top_k_per_group
+from mapreducewordoccurences_spark.sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: wordcount (SURVEY.md §2a — the reference's one query)
+# ---------------------------------------------------------------------------
+
+@register(
+    "wordcount",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's single hardcoded query (src/main.c:14-27) over
+    the documents table: case-sensitive [A-Za-z0-9]+ token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return count_words(docs, "text", sort=False).withColumnRenamed("count", "cnt")
+
+
+@register(
+    "wordcount_topk",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 100
+    """,
+)
+def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 words — exercises TakeOrderedAndProject (per-partition
+    k-heaps, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = count_words(docs, "text", sort=False).withColumnRenamed("count", "cnt")
+    return counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2d: scans/filters/joins/aggs/windows/…)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation. Filter reaches
+    the parquet scan (PushedFilters); partial aggregation bounds the
+    shuffle at (groups × partitions) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity", 4, "sum_qty"),
+            decimal_sum("l_extendedprice", 4, "sum_base_price"),
+            decimal_sum(disc_price, 6, "sum_disc_price"),
+            decimal_sum(charge, 6, "sum_charge"),
+            decimal_avg("l_quantity", 6, "avg_qty"),
+            decimal_avg("l_extendedprice", 6, "avg_price"),
+            decimal_avg("l_discount", 6, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped
+    revenue → top-k. Customer side shrinks ~1/5 before the join; AQE
+    picks broadcast when the filtered side fits."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(decimal_sum(revenue, 6, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join across all six relational tables.
+    region/nation are broadcast-hinted (≤25 rows at any SF); the
+    fact-side joins shuffle on their keys and AQE handles skew."""
+    region = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .groupBy("n_name")
+        .agg(decimal_sum(revenue, 6, "revenue"))
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        semi_join(cust, orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        anti_join(cust, orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        decimal_sum("o_totalprice", 4, "total_price"),
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        decimal_sum("l_quantity", 4, "sum_qty"),
+    )
+
+
+@register(
+    "distinct_parts_per_flag",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "window_topk_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — WindowGroupLimit prunes to 3 rows
+    per customer per partition before the shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+@register(
+    "window_running_user_spend",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user spend, ordered by event time (epoch nanos) with
+    event_id tiebreak. Decimal frame-sum keeps it engine-exact even
+    though window sums fold in different orders per engine."""
+    ev = _t(spark, sf_dir, "events")
+    return running_agg(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        F.sum(F.col("value").cast("decimal(28,2)")),
+        "__run",
+    ).select(
+        "event_id", "user_id", F.col("__run").cast("double").alias("running_spend")
+    )
+
+
+@register(
+    "setop_nations_intersect",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust_n = _t(spark, sf_dir, "customer").join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_n = _t(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return cust_n.intersect(supp_n)
+
+
+@register(
+    "setop_nations_except",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust_n = _t(spark, sf_dir, "customer").join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_n = _t(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return cust_n.subtract(supp_n)
+
+
+@register(
+    "json_extract_event_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON surface: get_json_object over the events.props
+    column, grouped aggregation downstream."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        decimal_sum("value", 4, "sum_value"),
+    )
+
+
+@register(
+    "asof_join_purchase_signup",
+    """
+    SELECT p.event_id, p.user_id,
+           (epoch_ns(p.ts) - epoch_ns(s.ts)) // 1000000000 AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest signup at
+    or before it (union + single window pass — one shuffle; see
+    operators/joins.py)."""
+    ev = _t(spark, sf_dir, "events")  # ts is int64 epoch-nanos
+    purchases = ev.where(F.col("event_type") == "purchase")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=[],
+        direction="backward",
+    )
+    gap = F.floor((F.col("ts") - F.col("ts_right")) / F.lit(1_000_000_000)).cast("long")
+    return joined.select("event_id", "user_id", gap.alias("gap_seconds"))
+
+
+# ---------------------------------------------------------------------------
+# Text-analytics / LLM-pipeline surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+           len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS n_distinct_tokens,
+           length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+             / NULLIF(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0) AS avg_token_len,
+           length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+             / NULLIF(length(text), 0) AS alnum_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_cnt
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+             )) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+            FROM documents)
+      WHERE len(s) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i / (x.n + y.n - i) AS jaccard
+    FROM inter JOIN sizes x ON x.doc_id = doc_a
+               JOIN sizes y ON y.doc_id = doc_b
+    WHERE i / (x.n + y.n - i) >= 0.8
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@register("dedup_minhash_lsh")  # non-SQL-expressible portably → rows-only check
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.7
+    ).select("doc_a", "doc_b", "est_jaccard")
+
+
+@register("dedup_simhash")  # rows-only: 63-bit vote/bit arithmetic not portable SQL
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_distance=8
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rnk <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 probe vectors. IDs+rank only in
+    the output: rank order is float-stable (random embeddings → sim
+    gaps ≫ ulp), sim values themselves are not bit-portable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return brute_force_knn(emb, queries, k=5).select("query_id", "neighbor_id", "rnk")
+
+
+@register("embedding_lsh_topk")  # rows-only: LSH hyperplanes not SQL-portable
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_knn(emb, queries, k=5, dim=64).select("query_id", "neighbor_id", "rnk")
+
+
+@register("language_id")  # rows-only: argmax-over-structs heuristic
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+@register("quality_score")  # rows-only: composite heuristic
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents"))

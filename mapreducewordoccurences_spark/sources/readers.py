@@ -1,0 +1,65 @@
+"""Source readers.
+
+The reference has exactly one source: a whole-file slurp into RAM
+(src/main.c:74-110). The engine generalizes to Spark's distributed,
+out-of-core sources; parquet is the primary format (driver testdata),
+text is the reference-parity path.
+
+All readers go through ``spark.read`` so Catalyst predicate pushdown /
+column pruning / partition pruning apply. At 100 TB the parquet reader
+is vectorized and split-planned by ``spark.sql.files.maxPartitionBytes``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _enable_nanos(spark: SparkSession) -> None:
+    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    # default (PARQUET_TYPE_ILLEGAL); this legacy conf reads nanos as
+    # BIGINT nanoseconds-since-epoch. We keep them as int64 on purpose:
+    # epoch-nanos arithmetic is timezone-proof and totally ordered.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md layout)."""
+    if name == "events":
+        _enable_nanos(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_parquet(spark: SparkSession, path: str, nanos_as_long: bool = True) -> DataFrame:
+    if nanos_as_long:
+        _enable_nanos(spark)
+    return spark.read.parquet(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Text source: DataFrame[value: string], one row per line.
+
+    ``whole_file`` preserves whole-document semantics (the reference's
+    model) at the cost of one record per file — only for small files.
+    """
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True, sep: str = ",") -> DataFrame:
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

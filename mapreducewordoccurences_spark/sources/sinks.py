@@ -1,0 +1,35 @@
+"""Sinks.
+
+The reference has exactly one sink: sorted ``key=value`` lines on
+stdout (src/main.c:172-174). The CLI keeps that for parity
+(cli.py); these sinks are the at-scale equivalents — distributed
+writes, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_kv(df: DataFrame, path: str, key_col: str, val_col: str, mode: str = "overwrite") -> None:
+    """Distributed ``key=value`` line output — the scale path for the
+    reference's stdout sink. One text column, '=' separated."""
+    (
+        df.select(
+            F.concat_ws("=", F.col(key_col), F.col(val_col).cast("string")).alias("value")
+        )
+        .write.mode(mode)
+        .text(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
