@@ -25,13 +25,21 @@ from pyspark.sql import functions as F
 from mapreducewordoccurences_spark.functions.text import tokens
 
 
-def shingle_array(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles ('w1 w2 w3' strings), lowercased.
+def shingle_array(toks_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles ('w1 w2 w3' strings) from an
+    ALREADY-MATERIALIZED token-array column.
+
+    Takes a column reference (not the tokenize expression) on purpose:
+    expressions referenced inside a ``transform`` lambda are re-inlined
+    per element_at — passing ``tokens(text)`` directly re-ran the
+    regexp ~3×n_shingles times per document (measured 5× slowdown).
+    Callers must project the token array into a named column first
+    (see shingles_df).
 
     Docs with fewer than n tokens yield an empty array (guard needed:
     Spark's sequence(1, 0) would count DOWN, not produce empty).
     """
-    toks = tokens(text, lowercase=True)
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
@@ -44,9 +52,14 @@ def shingle_array(text: Column | str, n: int = 3) -> Column:
 def shingles_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Exploded inverted-index rows: (id, shingle), distinct per doc."""
-    return df.select(
-        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+    """Exploded inverted-index rows: (id, shingle), distinct per doc.
+
+    Map-only (no shuffle): tokenize → project token array → explode
+    shingles, all inside one scan stage.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col, lowercase=True).alias("__toks"))
+    return toks.select(
+        F.col(id_col), F.explode(shingle_array("__toks", n)).alias("shingle")
     )
 
 

@@ -42,16 +42,24 @@ def alnum_chars(text: Column | str) -> Column:
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document statistics: token counts, distinct tokens, average
-    token length, alphanumeric ratio. Pure projection — no shuffle."""
-    t = tokens(text_col)
-    n_tok = F.size(t)
-    n_chars = F.length(_c(text_col))
-    return df.select(
+    token length, alphanumeric ratio. Pure projection — no shuffle.
+
+    Two-step projection: the token array and char counts materialize
+    once, then the stats read the named columns (expression reuse —
+    avoids re-running the regex per derived stat)."""
+    base = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+        alnum_chars(text_col).alias("__alnum"),
+        F.length(_c(text_col)).alias("__chars"),
+    )
+    n_tok = F.size("__toks")
+    return base.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
-        (alnum_chars(text_col) / F.nullif(n_tok, F.lit(0))).alias("avg_token_len"),
-        (alnum_chars(text_col) / F.nullif(n_chars, F.lit(0))).alias("alnum_ratio"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
+        (F.col("__alnum") / F.nullif(n_tok, F.lit(0))).alias("avg_token_len"),
+        (F.col("__alnum") / F.nullif(F.col("__chars"), F.lit(0))).alias("alnum_ratio"),
     )
 
 
@@ -80,12 +88,18 @@ def language_id(
     Emits (id, lang_guess, lang_score).
     """
     sw = stopwords or STOPWORDS
-    toks = tokens(text_col, lowercase=True)
-    n_tok = F.size(toks)
+    df = df.select(
+        F.col(id_col), tokens(text_col, lowercase=True).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("__ntok"),
+        F.array_distinct("__toks").alias("__dtoks"),
+    )
+    n_tok = F.col("__ntok")
     scored = []
     for lang in sorted(sw):
         wl = F.array([F.lit(w) for w in sw[lang]]) if sw[lang] else F.array().cast("array<string>")
-        hits = F.size(F.array_intersect(F.array_distinct(toks), wl))
+        hits = F.size(F.array_intersect(F.col("__dtoks"), wl))
         score = hits / F.nullif(n_tok, F.lit(0))
         scored.append(F.struct(F.coalesce(score, F.lit(0.0)).alias("score"), F.lit(lang).alias("lang")))
     # argmax: max of (score, lang) struct ordering, then invert lang for
@@ -110,13 +124,17 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     filters): length, mean token length window, alnum ratio, stopword
     presence. Emits components plus a [0,1] composite ``quality``.
     Pure projection — streams at scan speed."""
-    toks = tokens(text_col, lowercase=True)
-    n_tok = F.size(toks)
-    n_chars = F.length(_c(text_col))
-    avg_len = alnum_chars(text_col) / F.nullif(n_tok, F.lit(0))
+    df = df.select(
+        F.col(id_col),
+        tokens(text_col, lowercase=True).alias("__toks"),
+        alnum_chars(text_col).alias("__alnum"),
+        F.length(_c(text_col)).alias("__chars"),
+    )
+    n_tok = F.size("__toks")
+    avg_len = F.col("__alnum") / F.nullif(n_tok, F.lit(0))
     en_sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
-    sw_ratio = F.size(F.array_intersect(F.array_distinct(toks), en_sw)) / F.lit(float(len(STOPWORDS["en"])))
-    alnum_r = alnum_chars(text_col) / F.nullif(n_chars, F.lit(0))
+    sw_ratio = F.size(F.array_intersect(F.array_distinct("__toks"), en_sw)) / F.lit(float(len(STOPWORDS["en"])))
+    alnum_r = F.col("__alnum") / F.nullif(F.col("__chars"), F.lit(0))
     len_ok = (n_tok >= 10) & (n_tok <= 100000)
     word_len_ok = (avg_len >= 2.0) & (avg_len <= 12.0)
     quality = (
@@ -147,13 +165,22 @@ def doc_fingerprint(text: Column | str, normalize: bool = True) -> Column:
     return F.md5(col)
 
 
-def rolling_hash_fingerprint(text: Column | str, window: int = 8, mod: int = 1 << 61) -> Column:
-    """Winnowing-style rolling fingerprint: min of polynomial rolling
-    hashes over ``window``-token windows. Cheap locality-sensitive
-    summary; equal fingerprints → almost surely a shared window."""
-    toks = tokens(text, lowercase=True)
+def rolling_hash_fingerprint(toks_col: Column | str, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: min of hashes over
+    ``window``-token windows. Cheap locality-sensitive summary; equal
+    fingerprints → almost surely a shared window.
+
+    Takes a MATERIALIZED token-array column (not the tokenize
+    expression): expressions referenced inside a transform lambda are
+    re-inlined per element — project ``tokens(text)`` to a named
+    column first."""
+    toks = _c(toks_col)
     win = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
-        lambda i: F.conv(F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))), 1, 15), 16, 10).cast("long") % mod,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
     )
     return F.array_min(win)
