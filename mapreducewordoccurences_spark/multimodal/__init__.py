@@ -1,0 +1,17 @@
+from mapreducewordoccurences_spark.multimodal.media import (
+    MEDIA_SCHEMA,
+    IMAGE_META_SCHEMA,
+    fake_image_bytes,
+    decode_image_meta,
+    extract_image_features,
+    sample_frames,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "IMAGE_META_SCHEMA",
+    "fake_image_bytes",
+    "decode_image_meta",
+    "extract_image_features",
+    "sample_frames",
+]

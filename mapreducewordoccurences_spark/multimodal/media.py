@@ -1,0 +1,183 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travels as opaque ``binary`` columns with typed metadata — the
+standard Spark shape for multimodal training data (payloads stay
+byte-for-byte, metadata is columnar and prunable). Heavy per-item work
+(decode, feature extraction, frame sampling) runs in Arrow-batched
+``mapInPandas`` / ``pandas_udf`` so Python touches data once per
+batch, not once per row, and each task streams batches — no executor
+needs a whole partition of media in memory at once.
+
+Codec note: image/audio libraries are NOT available in this
+environment, so the byte-level decoders are deterministic fakes over a
+tiny self-describing header (``fake_image_bytes``). The Spark-side
+contract — schemas, batch iteration, partitioning, UDF signatures —
+is real and tested; swapping in Pillow/ffmpeg is a one-function
+change inside the pandas iterator.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# (id, kind, payload, meta) — the engine's canonical media row
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+_MAGIC = b"FAKEIMG1"
+_HEADER = struct.Struct("<8sHHBB")  # magic, width, height, channels, n_frames
+
+
+def fake_image_bytes(width: int, height: int, channels: int = 3, n_frames: int = 1) -> bytes:
+    """Deterministic stand-in for an encoded image/clip: a parseable
+    header + a payload whose bytes are a simple position function."""
+    header = _HEADER.pack(_MAGIC, width, height, channels, n_frames)
+    body = bytes(
+        (x * 31 + 7) % 256 for x in range(min(width * height * channels, 4096))
+    )
+    return header + body
+
+
+def _parse_header(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    if payload is None or len(payload) < _HEADER.size:
+        return None
+    magic, w, h, c, f = _HEADER.unpack_from(payload)
+    if magic != _MAGIC:
+        return None
+    return w, h, c, f
+
+
+def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """payload → (media_id, width, height, channels, n_frames) via
+    Arrow-batched mapInPandas. Undecodable payloads yield NULL dims
+    (never fail the job — at 100 TB some corruption is guaranteed)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_parse_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": pd.array([m[0] if m else None for m in metas], dtype="Int32"),
+                    "height": pd.array([m[1] if m else None for m in metas], dtype="Int32"),
+                    "channels": pd.array([m[2] if m else None for m in metas], dtype="Int32"),
+                    "n_frames": pd.array([m[3] if m else None for m in metas], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def extract_image_features(
+    df: DataFrame,
+    dim: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """payload → fixed-dim float feature vector (array<float>).
+
+    STUB decode: a real pipeline would run a vision encoder here; this
+    computes a deterministic byte-histogram projection so downstream
+    similarity/dedup operators (functions/similarity.py) have real
+    inputs to chew on. The batch shape — Arrow in, array<float> out —
+    is exactly what a model-backed UDF uses.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    # plain int — closures ship via cloudpickle and struct.Struct
+    # objects don't pickle
+    hdr_size = _HEADER.size
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                # undecodable payloads yield NULL features, matching
+                # decode_image_meta (don't featurize garbage bytes)
+                if p is None or _parse_header(p) is None:
+                    feats.append(None)
+                    continue
+                body = p[hdr_size:]
+                hist = [0.0] * dim
+                for i, byte in enumerate(body[:2048]):
+                    hist[byte % dim] += 1.0
+                total = sum(hist) or 1.0
+                feats.append([v / total for v in hist])
+            yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video-style frame sampling: one output row per kept frame index
+    (media_id, frame_idx). Real decoders would attach the frame bytes;
+    the stub raises the row-multiplicity plumbing only.
+
+    NOTE: real frame extraction is NotImplemented in this environment
+    (no ffmpeg); header-declared frame counts drive the fan-out.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                hdr = _parse_header(p)
+                if hdr is None:
+                    continue
+                for frame in range(0, hdr[3], every_nth):
+                    ids.append(mid)
+                    idxs.append(frame)
+            yield pd.DataFrame(
+                {"media_id": pd.array(ids, dtype="int64"), "frame_idx": pd.array(idxs, dtype="int32")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, out_schema)

@@ -1,0 +1,74 @@
+"""Multimodal plumbing tests: binary payload columns through
+Arrow-batched mapInPandas decoders (decode is a deterministic fake;
+the Spark-side schema/batching/partitioning is the thing under test).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image_meta,
+    extract_image_features,
+    fake_image_bytes,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", fake_image_bytes(64, 48, 3, 1), ("s3://x/1", "image/fake", 100)),
+        (2, "image", fake_image_bytes(320, 240, 3, 1), ("s3://x/2", "image/fake", 200)),
+        (3, "video", fake_image_bytes(16, 16, 3, 10), ("s3://x/3", "video/fake", 300)),
+        (4, "image", b"garbage-not-an-image", ("s3://x/4", "image/fake", 20)),
+        (5, "image", None, ("s3://x/5", "image/fake", 0)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+
+
+def test_decode_image_meta(media_df):
+    got = {r["media_id"]: (r["width"], r["height"], r["channels"], r["n_frames"])
+           for r in decode_image_meta(media_df).collect()}
+    assert got[1] == (64, 48, 3, 1)
+    assert got[2] == (320, 240, 3, 1)
+    assert got[3] == (16, 16, 3, 10)
+    assert got[4] == (None, None, None, None)  # corrupt → NULLs, no failure
+    assert got[5] == (None, None, None, None)
+
+
+def test_extract_features_shape_and_determinism(media_df):
+    out = extract_image_features(media_df, dim=16)
+    rows = {r["media_id"]: r["features"] for r in out.collect()}
+    assert len(rows[1]) == 16
+    assert abs(sum(rows[1]) - 1.0) < 1e-6  # normalized histogram
+    # deterministic across runs / partitionings
+    rows2 = {r["media_id"]: r["features"] for r in
+             extract_image_features(media_df.repartition(1), dim=16).collect()}
+    assert rows[2] == rows2[2]
+    assert rows[5] is None
+
+
+def test_sample_frames_fanout(media_df):
+    out = sample_frames(media_df, every_nth=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(by_id[3]) == [0, 2, 4, 6, 8]  # 10 frames, every 2nd
+    assert sorted(by_id[1]) == [0]
+    assert 4 not in by_id  # corrupt payload contributes no frames
+
+
+def test_features_feed_similarity_operators(spark, media_df):
+    """The multimodal feature output plugs straight into the ANN
+    operator — the media→embedding→dedup pipeline composes."""
+    from mapreducewordoccurences_spark.functions.similarity import brute_force_knn
+
+    feats = extract_image_features(media_df, dim=16).where(F.col("features").isNotNull())
+    emb = feats.select(F.col("media_id").alias("vec_id"), F.col("features").alias("embedding"))
+    knn = brute_force_knn(emb, emb.where(F.col("vec_id") == 1), k=2)
+    got = knn.collect()
+    assert len(got) == 2
+    assert all(r["query_id"] == 1 for r in got)
