@@ -562,3 +562,242 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("quality_score")  # rows-only: composite heuristic
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface (round 1 widening)
+# ---------------------------------------------------------------------------
+
+@register(
+    "brand_revenue",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join on the part table; part is broadcast-hinted (it is
+    a per-SKU dimension — orders of magnitude smaller than lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            decimal_sum(revenue, 6, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (neither rollup nor cube): per-priority
+    and per-status marginals in ONE pass over orders (Spark expands
+    sets map-side — no double scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@register(
+    "range_join_quantity_bands",
+    """
+    SELECT band, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0),
+                 ('high', 25.0, 40.0), ('bulk', 40.0, 1e9)) AS bands(band, lo, hi)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join of lineitem quantities into bands.
+    The band table is tiny → broadcast nested-loop with the range
+    predicate; at scale with many intervals use
+    operators.joins.range_join(bucket_width=...) for an equi-join plan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 40.0), ("bulk", 40.0, 1e9)],
+            "band string, lo double, hi double",
+        )
+    )
+    return (
+        li.join(bands, (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            decimal_sum("l_quantity", 4, "sum_qty"),
+        )
+    )
+
+
+@register(
+    "lag_delta_user_values",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(CAST(value AS DECIMAL(28,2))
+                 - LAG(CAST(value AS DECIMAL(28,2)))
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id), 2) AS DOUBLE) AS delta
+    FROM events
+    """,
+)
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event value delta (lag window). Decimal
+    subtraction keeps the difference exact; NULL for each user's first
+    event."""
+    ev = _t(spark, sf_dir, "events")
+    from mapreducewordoccurences_spark.operators.windows import lag_delta
+
+    out = lag_delta(
+        ev.select("event_id", "user_id", "ts", F.col("value").cast("decimal(28,2)").alias("__v")),
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "__v",
+        out_col="__delta",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("__delta").cast("double").alias("delta")
+    )
+
+
+@register(
+    "union_customer_supplier_nations",
+    """
+    SELECT 'customer' AS side, c_nationkey AS nationkey, count(*) AS n
+    FROM customer GROUP BY c_nationkey
+    UNION ALL
+    SELECT 'supplier' AS side, s_nationkey AS nationkey, count(*) AS n
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two grouped scans — concatenation only, no
+    dedup shuffle."""
+    from mapreducewordoccurences_spark.operators.setops import union_all
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("customer").alias("side"), "nationkey", "n")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("supplier").alias("side"), "nationkey", "n")
+    )
+    return union_all(cust, supp)
+
+
+@register(
+    "topk_words_per_doc",
+    """
+    SELECT doc_id, word, tf, rnk FROM (
+      SELECT doc_id, word, tf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, word) AS rnk
+      FROM (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+      )
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent words per document (integer-only ordering:
+    tf desc, word asc — fully deterministic cross-engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", "[^A-Za-z0-9]+")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return top_k_per_group(
+        tf, ["doc_id"], [F.col("tf").desc(), F.col("word").asc()], 3
+    ).select("doc_id", "word", "tf", "rnk")
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents)
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word, tf, df,
+           CAST(ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) AS DOUBLE) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    WHERE df < (SELECT n_docs FROM n) / 2
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the documents table: tf per (doc, word), document
+    frequency per word (broadcast — distinct-word set is small), idf =
+    ln(N/df); terms appearing in ≥ half the corpus are dropped as
+    stopwords. Round(…,4) absorbs libm-vs-Java ulp noise in ln()."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+        )
+        .where(F.length("word") > 0)
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # driver-side scalar (one cheap count scan)
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 4
+    ).cast("double")
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .where(F.col("df") < n_docs / 2)
+        .select("doc_id", "word", "tf", "df", tfidf.alias("tfidf"))
+    )
+
+
+@register("approx_distinct_users")  # rows-only: HLL sketches differ per engine
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type — the
+    at-scale replacement for exact distinct counts (no per-key state
+    blow-up). Accuracy vs exact is asserted in tests
+    (tests/test_extended_queries.py), not against the oracle (sketch
+    internals are engine-specific)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("approx_value_percentiles")  # rows-only: sketch-based quantiles
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return ev.groupBy("event_type").agg(pct.alias("p50_p90_p99"))

@@ -1,0 +1,53 @@
+"""Accuracy tests for sketch-based queries (not oracle-comparable:
+sketch internals are engine-specific) and semantic checks that the
+rows-only queries produce sane results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.queries import QUERIES
+from mapreducewordoccurences_spark.sources.readers import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_approx_distinct_within_tolerance(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(2, 0.1 * ex), (et, approx[et], ex)
+
+
+def test_approx_percentiles_ordered(spark):
+    for r in QUERIES["approx_value_percentiles"](spark, SF_DIR).collect():
+        p50, p90, p99 = r["p50_p90_p99"]
+        assert p50 <= p90 <= p99
+
+
+def test_language_id_tie_break_deterministic(spark):
+    out1 = {r["doc_id"]: r["lang_guess"] for r in QUERIES["language_id"](spark, SF_DIR).collect()}
+    out2 = {r["doc_id"]: r["lang_guess"] for r in QUERIES["language_id"](spark, SF_DIR).collect()}
+    assert out1 == out2
+
+
+def test_simhash_pairs_overlap_exact_jaccard(spark):
+    """SimHash near-dups should substantially overlap the exact-Jaccard
+    near-dup set (both detect the planted duplicates)."""
+    sim = QUERIES["dedup_simhash"](spark, SF_DIR)
+    jac = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    sim_pairs = {(r["doc_a"], r["doc_b"]) for r in sim.collect()}
+    jac_pairs = {(r["doc_a"], r["doc_b"]) for r in jac.collect()}
+    if jac_pairs:
+        recall = len(sim_pairs & jac_pairs) / len(jac_pairs)
+        assert recall >= 0.8, (recall, len(sim_pairs), len(jac_pairs))
