@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.operators.skew import salted_agg, salted_join
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    # heavy skew: 90% of rows share one key
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("key"),
+        (F.col("id") % 7).alias("v"),
+    )
+    plain = {
+        (r["key"]): (r["s"], r["c"])
+        for r in df.groupBy("key").agg(F.sum("v").alias("s"), F.count("v").alias("c")).collect()
+    }
+    salted = {
+        (r["key"]): (r["s"], r["c"])
+        for r in salted_agg(df, ["key"], {"s": ("v", "sum"), "c": ("v", "count")}, n_salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("rv"))
+    plain = left.join(right, "k").groupBy("k").count()
+    salted = salted_join(left, right, "k", n_salts=4).groupBy("k").count()
+    assert {(r["k"], r["count"]) for r in plain.collect()} == {
+        (r["k"], r["count"]) for r in salted.collect()
+    }
+
+
+def test_stateful_running_user_totals(spark):
+    """applyInPandasWithState over a file-backed micro-batch stream:
+    final per-user totals must equal the batch aggregation."""
+    from mapreducewordoccurences_spark.streaming.stateful import running_user_totals
+
+    d = tempfile.mkdtemp(prefix="stateful_")
+    try:
+        src = os.path.join(d, "src")
+        rows = [(i, 1 + (i % 3), float(i % 10), i * 1000) for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, value double, ts bigint"
+        )
+        df.write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "event_id bigint, user_id bigint, value double, ts bigint"
+        ).parquet(src)
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("user_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "SELECT * FROM user_totals"
+            ).collect()
+        }
+        expected = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in df.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.core import count_words
+from mapreducewordoccurences_spark.sources import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+    write_csv_kv,
+    write_json,
+    write_parquet,
+)
+
+
+@pytest.fixture()
+def tmpd():
+    d = tempfile.mkdtemp(prefix="sink_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_roundtrip_partitioned(spark, tmpd):
+    df = spark.createDataFrame(
+        [(i, f"w{i % 3}", float(i)) for i in range(100)], "id bigint, k string, v double"
+    )
+    path = os.path.join(tmpd, "p")
+    write_parquet(df, path, partition_by=["k"])
+    back = read_parquet(spark, path)
+    assert back.count() == 100
+    # partition pruning: filter on partition col reads only that dir
+    assert back.where(F.col("k") == "w1").count() == 33
+    assert sorted(os.listdir(path))[:1] == ["_SUCCESS"] or any(
+        e.startswith("k=") for e in os.listdir(path)
+    )
+
+
+def test_kv_text_sink_matches_cli_format(spark, tmpd):
+    df = spark.createDataFrame([("a b a",)], ["text"])
+    counts = count_words(df)
+    path = os.path.join(tmpd, "kv")
+    write_csv_kv(counts, path, "word", "count")
+    lines = []
+    for f in os.listdir(path):
+        if f.startswith("part-"):
+            lines += open(os.path.join(path, f)).read().splitlines()
+    assert sorted(lines) == ["a=2", "b=1"]
+
+
+def test_json_roundtrip(spark, tmpd):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, s string")
+    path = os.path.join(tmpd, "j")
+    write_json(df, path)
+    back = read_json(spark, path, schema="id bigint, s string")
+    assert {(r["id"], r["s"]) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_csv_reader(spark, tmpd):
+    p = os.path.join(tmpd, "c.csv")
+    with open(p, "w") as f:
+        f.write("id,name\n1,alpha\n2,beta\n")
+    df = read_csv(spark, p)
+    assert {(r["id"], r["name"]) for r in df.collect()} == {(1, "alpha"), (2, "beta")}
+
+
+def test_whole_file_text_read(spark, tmpd):
+    p = os.path.join(tmpd, "t.txt")
+    with open(p, "w") as f:
+        f.write("line one\nline two\n")
+    assert read_text(spark, p).count() == 2
+    assert read_text(spark, p, whole_file=True).count() == 1
