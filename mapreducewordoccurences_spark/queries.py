@@ -231,19 +231,29 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "anti_join_customers_without_orders",
+    "anti_join_customers_without_recent_orders",
     """
     SELECT c_mktsegment, count(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
     GROUP BY c_mktsegment
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders since 2001 (every customer has SOME
+    order in this data, so the unfiltered variant is vacuous — the
+    date predicate makes the anti-join discriminating)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return (
-        anti_join(cust, orders, "c_custkey")
+        anti_join(cust, recent, "c_custkey")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
@@ -378,16 +388,23 @@ def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
     EXCEPT
     SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+                  WHERE s_acctbal > 5000
     """,
 )
 def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no high-balance (>5000) supplier
+    (the unrestricted variant is empty on this data — every nation
+    has both; the balance predicate makes EXCEPT discriminating)."""
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     cust_n = _t(spark, sf_dir, "customer").join(
         nation, F.col("c_nationkey") == F.col("n_nationkey")
     ).select("n_name")
-    supp_n = _t(spark, sf_dir, "supplier").join(
-        nation, F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("n_name")
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
     return cust_n.subtract(supp_n)
 
 
@@ -801,3 +818,101 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return ev.groupBy("event_type").agg(pct.alias("p50_p90_p99"))
+
+
+@register(
+    "left_join_order_item_counts",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           count(l_orderkey) AS n_items,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(28,4))), 0) AS DOUBLE) AS sum_qty
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+)
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join surface: per-order item counts keeping zero-item
+    orders (count(col) skips the NULLs a left join produces)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.coalesce(
+                F.sum(F.col("l_quantity").cast("decimal(28,4)")), F.lit(0)
+            ).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "orders_by_month",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension scalar functions (year/month extraction) feeding
+    a grouped aggregate — the time-series reporting shape."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice", 4, "total_price"),
+        )
+    )
+
+
+@register(
+    "string_functions_part",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           length(p_name) AS name_len,
+           substr(p_type, 1, 5) AS type_prefix,
+           CASE WHEN p_name LIKE '%steel%' THEN 1 ELSE 0 END AS is_steel,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface: upper/length/substr/like/concat in one
+    projection (no shuffle — streams at scan speed)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.when(F.col("p_name").like("%steel%"), 1).otherwise(0).alias("is_steel"),
+        F.concat_ws(":", F.col("p_brand"), F.col("p_size").cast("string")).alias("brand_size"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id IN (
+      SELECT min(doc_id) FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exact-dedup pipeline output: the kept rows (min-id
+    representative per content group) — the actual training-data
+    deliverable, not just the group table."""
+    from mapreducewordoccurences_spark.dedup.exact import drop_exact_dups
+
+    return drop_exact_dups(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
