@@ -91,6 +91,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, scored by estimated Jaccard
     (signature agreement rate), filtered at ``threshold``.
@@ -98,11 +99,17 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, est_jaccard). With num_perm=64, bands=16
     (4 rows/band) the S-curve midpoint sits near J≈0.5 — catches
     J≥0.7 pairs with >99% probability.
+
+    ``persist`` caches the banded signatures, which feed both sides of
+    the candidate self-join (Spark recomputes repeated subtrees
+    otherwise — that would re-shingle and re-hash the corpus twice).
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    if persist:
+        sigs = sigs.persist()
 
     banded = sigs.select(
         F.col(id_col),

@@ -70,13 +70,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """All doc pairs (a < b) with shingle-Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard). jaccard is an int/int divide —
     bit-deterministic across engines.
+
+    ``persist`` caches the shingle table (MEMORY_AND_DISK): it is read
+    three times (both self-join sides + sizes) and Spark does not
+    dedupe repeated subtrees. The cache lives until LRU eviction or
+    ``spark.catalog.clearCache()``; pass False for one-shot pipelines
+    that would rather re-tokenize than hold executor memory.
     """
     sh = shingles_df(df, id_col, text_col, n)
+    if persist:
+        sh = sh.persist()
     if max_shingle_df is not None:
         keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
         sh = sh.join(keep.select("shingle"), on="shingle", how="left_semi")

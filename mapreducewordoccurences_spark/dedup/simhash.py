@@ -61,15 +61,21 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_distance: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """Pairs (a < b) with Hamming(simhash_a, simhash_b) ≤ max_distance.
 
     Pigeonhole: k = max_distance+1 blocks of ~63/k bits; any qualifying
     pair matches on ≥1 whole block → equi-join per block, then exact
     Hamming verification with bit_count(xor).
+
+    ``persist`` caches the fingerprints feeding both self-join sides
+    (otherwise the 63-vote aggregation runs twice).
     """
     k = max_distance + 1
     fps = simhash_fingerprints(df, id_col, text_col)
+    if persist:
+        fps = fps.persist()
     bounds = [(_BITS * i) // k for i in range(k + 1)]
 
     def block(col: Column, i: int) -> Column:
