@@ -916,3 +916,105 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.dedup.exact import drop_exact_dups
 
     return drop_exact_dups(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM (
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(
+                   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+                 )) AS shingle
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+                FROM documents)
+          WHERE len(s) >= 3
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes x ON x.doc_id = doc_a
+                   JOIN sizes y ON y.doc_id = doc_b
+        WHERE i / (x.n + y.n - i) >= 0.8
+      )
+    ), undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach AS (
+      SELECT src AS node, src AS comp FROM undirected
+      UNION
+      SELECT u.dst AS node, r.comp
+      FROM reach r JOIN undirected u ON u.src = r.node
+      WHERE r.comp < u.dst
+    )
+    SELECT comp AS component, count(*) AS size, min(node) AS keep_id
+    FROM (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    GROUP BY comp
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (Jaccard ≥ 0.8) resolved into connected
+    components via iterative min-label propagation — the iterative-
+    algorithm surface. Oracle uses a recursive CTE reachability
+    closure (min-reachable-id per node ≡ component)."""
+    from mapreducewordoccurences_spark.dedup.clusters import dup_clusters
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    return dup_clusters(pairs)
+
+
+@register(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ 	
+A-Za-z0-9'']+|[ 	
+]+')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer count (contraction suffixes, letter
+    runs, digit runs, punctuation runs, whitespace runs) next to plain
+    word-token counts — the length signal an LLM-data pipeline
+    budgets with. Pattern is RE2-and-Java-compatible (no lookahead)."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe_pattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\t\\nA-Za-z0-9']+|[ \\t\\n]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(bpe_pattern), 0)).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0)).alias("n_word_tokens"),
+    )
+
+
+@register(
+    "pivot_orders_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with a FIXED value list — never let pivot
+    infer values at scale (that's an extra distinct scan and a
+    nondeterministic schema)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )

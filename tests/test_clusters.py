@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.dedup.clusters import connected_components, dup_clusters
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    cc = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph of 15 nodes — diameter 14 exercises multiple rounds
+    edges = [(i, i + 1) for i in range(15)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    cc = connected_components(pairs).collect()
+    assert {r["component"] for r in cc} == {0}
+    assert len(cc) == 16
+
+
+def test_dup_clusters_summary(spark):
+    edges = [(5, 9), (9, 7), (100, 101)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        (r["component"], r["size"], r["keep_id"])
+        for r in dup_clusters(pairs).collect()
+    }
+    assert got == {(5, 3, 5), (100, 2, 100)}
