@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordoccurences_spark.core.wordcount import count_words
@@ -988,6 +988,536 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(bpe_pattern), 0)).alias("n_bpe_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0)).alias("n_word_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational widening (round-1 batch 2): filter-agg,
+# deep stars, two-level aggs, self-agg thresholds, SQL subqueries.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_discount_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + ungrouped aggregate. The whole
+    predicate set reaches the parquet scan (PushedFilters on shipdate /
+    discount / quantity) and only 3 columns are read — at 100 TB this
+    is the canonical scan-bound query; no shuffle beyond the final
+    single-row partial-agg merge. Product l_extendedprice*l_discount is
+    one IEEE multiply per row (deterministic), then decimal-exact sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name,
+           year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: fact-to-fact join (lineitem⋈orders, both big →
+    sort-merge / AQE's choice) plus two broadcast dims (supplier,
+    nation). Group keys come from both sides of the big join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue_topk",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, top-20 customers.
+    Filter on l_returnflag is pushed to the scan; final top-k is
+    TakeOrderedAndProject (no global sort). c_custkey tiebreak makes
+    the ordering total, so the LIMIT frontier is deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT order_count, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY order_count
+    """,
+)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. Two-level
+    aggregate over a filtered LEFT join; the filter lives in the join
+    condition (NOT the WHERE — that would turn the join inner and drop
+    zero-order customers). Second agg's input is one row per customer,
+    so its shuffle is tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(cust.c_custkey)
+        .agg(F.count(orders.o_orderkey).alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS promo_ratio,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue
+    share). Both sums are decimal-exact; the ratio is ONE double
+    divide at the end — deterministic across partitionings. part is
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1998-01-01")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double")
+            ).alias("promo_ratio"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH thresh AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(l_quantity) * 0.5 AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN thresh t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_thresh
+    """,
+)
+def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below half their part's average quantity.
+    The per-part average is a self-aggregation joined back to the fact;
+    both sides share the l_partkey partitioning, so with matched
+    shuffle keys Catalyst reuses one exchange. The threshold is
+    decimal-exact-sum / count * 0.5 — two IEEE ops, same on both
+    engines, so the < boundary is bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(
+        (decimal_avg("l_quantity") * F.lit(0.5)).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            decimal_sum("l_extendedprice", scale=6, alias="total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_order_customers",
+    """
+    SELECT c_name, o.o_orderkey, o_orderdate,
+           CAST(sq.total_qty AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,6))) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 300) sq
+      ON o.o_orderkey = sq.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 (the
+    HAVING subquery), joined back to orders+customer. The HAVING
+    output is tiny → both upstream joins broadcast it under AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "exists_heavy_lineitem_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape via the SQL front door: correlated EXISTS.
+    Exercises the parser/analyzer path (spark.sql over temp views);
+    Catalyst rewrites the subquery to a left-semi hash join — the same
+    physical plan as the DataFrame semi_join operator."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM sql_orders
+        WHERE EXISTS (SELECT 1 FROM sql_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "rich_idle_customers_by_nation",
+    """
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                              / COUNT(c_acctbal)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY n_name
+    """,
+)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers richer than the global positive-
+    balance average with no jumbo (>400k) order. The scalar subquery becomes
+    a broadcast cross-join of a 1-row aggregate (never a driver-side
+    collect — the scalar stays on executors); NOT EXISTS is a left-anti
+    join."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(decimal_avg("c_acctbal", alias="avg_bal"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    jumbo = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    idle = anti_join(rich, jumbo, "c_custkey")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            decimal_sum("c_acctbal", scale=4, alias="total_bal"),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after
+    a 30-minute silence. One shuffle total — the lag window, the
+    running-sum window, and the final groupBy all share the user_id
+    partitioning (the two windows additionally share one sort). All
+    arithmetic is int64 epoch-MICROseconds (integer ``div`` — a float
+    divide would lose precision past 2^53; micros because DuckDB
+    timestamps truncate nanos): bit-deterministic, and (event_id)
+    tiebreaks make both windows total orders."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = ev.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sessions = ordered.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@register(
+    "minmax_by_priority",
+    """
+    SELECT o_orderpriority,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS top_orderkey,
+           min(struct_pack(p := o_totalprice, k := o_orderkey)).k AS bottom_orderkey,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by scalar aggregates: the cheapest / priciest order
+    per priority in a single pass (no window, no join-back). The
+    ordering key is a (price, orderkey) struct — lexicographic struct
+    comparison gives a total order, so ties on price can't flip the
+    answer. Oracle: DuckDB lacks struct-keyed arg_max, so it uses
+    max(struct).field — same lexicographic semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "array_stats_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                          AS DECIMAL(28,10)))) AS DOUBLE) AS l2_norm_sq
+    FROM embeddings
+    """,
+)
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column, all
+    JVM-side (no UDF): size, element_at, filter, and a
+    transform+aggregate squared-norm. Each float product is cast to
+    decimal BEFORE summing, so the reduction is order-independent —
+    the only way a float fold matches bit-for-bit across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = lambda x: (x.cast("double") * x.cast("double")).cast("decimal(28,10)")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("decimal(28,10)"),
+            lambda acc, x: (acc + sq(x)).cast("decimal(28,10)"),
+        )
+        .cast("double")
+        .alias("l2_norm_sq"),
+    )
+
+
+@register(
+    "date_functions_orders",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           quarter(o_orderdate) AS o_quarter,
+           COUNT(*) AS n_orders,
+           MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month,
+           MAX(last_day(CAST(o_orderdate AS DATE))) AS last_month_end,
+           MAX(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)))
+             AS max_days_since_epoch_start
+    FROM orders
+    GROUP BY year(o_orderdate), quarter(o_orderdate)
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: year/quarter buckets with trunc,
+    last_day, and datediff aggregates — calendar arithmetic only
+    (no timezones, no fractional months), identical on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias(
+                "first_month"
+            ),
+            F.max(F.last_day(F.col("o_orderdate").cast("date"))).alias(
+                "last_month_end"
+            ),
+            F.max(
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            ).alias("max_days_since_epoch_start"),
+        )
+    )
+
+
+@register(
+    "histogram_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS bucket_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals. floor(x/width) is one
+    divide + one floor per row (deterministic); the bucketed groupBy
+    is an ordinary hash aggregate — at 100 TB this is how you profile
+    a column without a sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("price_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice", scale=4, alias="bucket_total"),
+        )
     )
 
 
