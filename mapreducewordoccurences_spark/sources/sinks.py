@@ -33,3 +33,28 @@ def write_csv_kv(df: DataFrame, path: str, key_col: str, val_col: str, mode: str
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def start_foreach_batch_sink(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming sink escape hatch: run ``batch_fn(batch_df, batch_id)``
+    on each micro-batch — upserts, multi-table writes, or any sink with
+    no native streaming connector.
+
+    Exactly-once comes from the pair (checkpointed batch_id, idempotent
+    ``batch_fn``): on restart Spark may replay the last batch with the
+    SAME batch_id, so the fn must be a no-op for an id it already
+    committed (e.g. write to ``.../batch_id=<id>`` with overwrite).
+    Returns the started StreamingQuery.
+    """
+    writer = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

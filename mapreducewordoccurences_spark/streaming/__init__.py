@@ -7,6 +7,14 @@ from mapreducewordoccurences_spark.streaming.windows import (
     sliding_event_counts,
     session_event_counts,
 )
+from mapreducewordoccurences_spark.streaming.joins import (
+    enrich_stream_with_dim,
+    stream_stream_interval_join,
+)
+from mapreducewordoccurences_spark.streaming.dedup import (
+    dedup_stream,
+    dedup_stream_within_watermark,
+)
 
 __all__ = [
     "streaming_word_counts",
@@ -14,4 +22,8 @@ __all__ = [
     "tumbling_event_counts",
     "sliding_event_counts",
     "session_event_counts",
+    "enrich_stream_with_dim",
+    "stream_stream_interval_join",
+    "dedup_stream",
+    "dedup_stream_within_watermark",
 ]
