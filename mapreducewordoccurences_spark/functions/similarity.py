@@ -1,6 +1,6 @@
 """Embedding similarity search over array<float> columns.
 
-Two tiers:
+Three tiers:
 - ``brute_force_knn``: exact cosine top-k — the correctness baseline.
   O(|queries| × |corpus|); fine when the query set is small enough to
   broadcast (the usual case: a probe/eval set vs a 100 TB corpus).
@@ -8,6 +8,11 @@ Two tiers:
   vector hashes to one bucket per table; candidates share a bucket in
   ≥1 table; exact cosine re-ranks candidates. Shuffle is proportional
   to bucket collisions, not |corpus|².
+- ``ivf_knn``: inverted-file (IVF-flat) — k-means cells built once
+  (``kmeans_centroids``), corpus rows assigned to their nearest cell,
+  queries probe only the ``nprobe`` nearest cells. At 100 TB the
+  assignment is a one-time index build persisted with
+  ``partitionBy(cell)`` so a probe reads nprobe/nlist of the data.
 
 All arithmetic is JVM-side (``zip_with``/``aggregate`` fold in
 double) — no Python in the data path; results are deterministic
@@ -19,7 +24,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducewordoccurences_spark.operators.windows import top_k_per_group
@@ -74,6 +79,138 @@ def brute_force_knn(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     ).join(F.broadcast(q), on=(F.lit(True) if include_self else F.col("neighbor_id") != F.col(query_id_col)), how="inner")
     scored = joined.select(
+        query_id_col,
+        "neighbor_id",
+        cosine_similarity("__qvec", "__cvec").alias("sim"),
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select(query_id_col, "neighbor_id", "rnk", "sim")
+
+
+def _sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Σ (aᵢ-bᵢ)² as double (squared L2; monotone with cosine distance
+    for unit-norm vectors, and cheaper — no sqrt)."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_cells(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast cross-join (centroids are
+    nlist rows — tiny) then min_by with a (dist, cell) total order."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__cell"),
+        _sq_dist(vec_col, "__centroid").alias("__dist"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by("__cell", F.struct("__dist", "__cell")).alias("__cell"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministically-seeded Lloyd k-means → (``__cell``,
+    ``__centroid``) with nlist rows.
+
+    Seeds are the nlist lowest-id vectors (deterministic, no RNG in
+    the plan); each Lloyd round is one broadcast assignment plus one
+    posexplode + (cell, dim) groupBy to average element-wise — both
+    shuffle O(corpus × dim) numbers, the price of an index build, paid
+    once. Empty cells simply drop out (fewer lists, never a crash)."""
+    w_id = F.row_number().over(Window.orderBy(id_col))
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            (w_id - 1).alias("__cell"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+        centroids = (
+            assigned.select("__cell", F.posexplode(vec_col).alias("__pos", "__v"))
+            .groupBy("__cell", "__pos")
+            .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s.getField("__m"),
+                ).alias("__centroid")
+            )
+        )
+    return centroids
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF-flat.
+
+    Corpus rows join queries only within the query's ``nprobe``
+    nearest cells → the candidate set (and shuffle) shrinks by
+    ~nprobe/nlist vs brute force. Recall rises with nprobe (nprobe =
+    nlist ≡ exact). The centroid table is checkpointed via cache() —
+    it is reused by both the corpus assignment and the query probe.
+
+    At real scale: build ``kmeans_centroids`` + corpus assignment
+    offline, persist the assignment partitioned/bucketed by ``__cell``,
+    and only the probe join runs per query batch — it prunes to
+    nprobe cells via partition pruning before any shuffle."""
+    centroids = kmeans_centroids(
+        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+    ).cache()
+
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    ).withColumnRenamed(vec_col, "__cvec")
+
+    # each query probes its nprobe nearest cells
+    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec"))
+    probe_scored = q.crossJoin(F.broadcast(centroids)).select(
+        query_id_col,
+        "__qvec",
+        "__cell",
+        _sq_dist("__qvec", "__centroid").alias("__dist"),
+    )
+    probes = top_k_per_group(
+        probe_scored,
+        [query_id_col],
+        [F.col("__dist").asc(), F.col("__cell").asc()],
+        nprobe,
+    ).select(query_id_col, "__qvec", "__cell")
+
+    cand = assigned.join(probes, on="__cell").where(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = cand.select(
         query_id_col,
         "neighbor_id",
         cosine_similarity("__qvec", "__cvec").alias("sim"),

@@ -571,6 +571,19 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(emb, queries, k=5, dim=64).select("query_id", "neighbor_id", "rnk")
 
 
+@register("embedding_ivf_topk")  # rows-only: Lloyd iterations not SQL-portable
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: k-means cells + nprobe probing (see
+    functions/similarity.py ivf_knn for the at-scale index layout)."""
+    from mapreducewordoccurences_spark.functions.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_knn(emb, queries, k=5, nlist=16, nprobe=4).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+
+
 @register("language_id")  # rows-only: argmax-over-structs heuristic
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents"))

@@ -89,6 +89,34 @@ def test_lsh_knn_recall_vs_brute_force(spark):
     assert recall >= 0.6, recall
 
 
+def test_ivf_knn_recall_vs_brute_force(spark):
+    """IVF-flat with nprobe=8 of nlist=16 cells must recover most true
+    top-5 neighbors; probing every cell must be exact."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        brute_force_knn,
+        ivf_knn,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact_pairs = {
+        (r[0], r[1])
+        for r in brute_force_knn(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    approx = ivf_knn(emb, queries, k=5, nlist=16, nprobe=8)
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # isotropic 64-d data scatters true neighbors across cells
+    # (worst case for IVF); real clustered embeddings do far better
+    assert recall >= 0.5, recall
+
+    full = ivf_knn(emb, queries, k=5, nlist=16, nprobe=16)
+    full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_pairs == exact_pairs
+
+
 def test_sliding_window_counts(spark, tmp_path):
     import datetime as dt
 
