@@ -15,8 +15,11 @@ document frequency. Everything is built-in array/agg expressions —
 one explode per (doc, shingle), one groupBy per doc, one explode per
 (doc, band), one self-join on (band, band_hash).
 
-Base hash is md5-derived (portable/deterministic across engines and
-runs), not Spark's internal murmur.
+Base hash is ``xxhash64`` — JVM-native (no string materialization, no
+base conversion), deterministic across runs/partitionings/AQE replans,
+which is the determinism a rows-only operator needs. (An earlier
+md5-hex→bigint variant bought cross-SQL-engine portability nobody
+consumes and cost ~25% of end-to-end runtime.)
 """
 
 from __future__ import annotations
@@ -42,9 +45,9 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
 
 
 def _base_hash(col: Column) -> Column:
-    """Portable 60-bit integer hash of a string: md5 hex → first 15
-    nibbles → bigint. Deterministic everywhere md5 exists."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    """64-bit integer hash of a string (signed; consumers pmod it).
+    xxhash64 is whole-stage-codegen'd — one pass over the bytes."""
+    return F.xxhash64(col)
 
 
 def minhash_signatures(
@@ -64,7 +67,7 @@ def minhash_signatures(
     sh = shingles_df(df, id_col, text_col, n).select(
         F.col(id_col), _base_hash(F.col("shingle")).alias("__h")
     )
-    # Permutations fold the 60-bit base hash to 30 bits first so
+    # Permutations fold the base hash to 30 nonnegative bits first so
     # a·h30 + b stays inside BIGINT (a < 2^31 ⇒ product < 2^61; sum
     # < 2^62). Collision cost of the 30-bit fold is negligible for
     # minhashing (birthday term ~df²/2^31) and it keeps the hot loop
@@ -115,13 +118,13 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.col("signature"),
         F.posexplode(
+            # xxhash64 hashes the bigint slice directly — no string
+            # round-trip; a 64-bit bucket id keeps false band
+            # collisions ~0 (and any are filtered by est_jaccard).
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("array<string>"),
-                    )
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
                 ),
             )
         ).alias("band", "band_hash"),

@@ -26,11 +26,9 @@ _BITS = 63
 
 
 def _token_hash(col: Column) -> Column:
-    """Portable 63-bit token hash from md5 (engine/run deterministic)."""
-    h = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(38,0)")
-    # 2^63 doesn't fit a Java long literal — pass the modulus as decimal
-    modulus = F.lit(str(1 << _BITS)).cast("decimal(38,0)")
-    return (h % modulus).cast("long")
+    """63-bit token hash: xxhash64 masked to nonnegative (run/plan
+    deterministic, whole-stage-codegen'd; no md5 string round-trip)."""
+    return F.xxhash64(col).bitwiseAND(F.lit((1 << _BITS) - 1))
 
 
 def simhash_fingerprints(
