@@ -95,3 +95,60 @@ def test_brute_force_knn_broadcasts_queries(spark):
 
 def test_dedup_exact_single_shuffle(spark):
     assert count_exchanges(q(spark, "dedup_exact")) == 1
+
+
+def test_q6_full_pushdown_scan_only(spark):
+    df = q(spark, "q6_discount_revenue")
+    # every predicate reaches the parquet scan…
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filters(df, col), col
+    # …and only the needed columns are read
+    cols = read_schema_columns(df)[0]
+    assert set(cols) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    # single-row agg: one partial→final exchange, nothing else
+    assert count_exchanges(df) == 1
+    assert not has_python_eval(df)
+
+
+def test_q9_broadcasts_dims(spark):
+    df = q(spark, "q9_profit_by_nation_year")
+    assert has_broadcast_join(df)
+    assert not has_python_eval(df)
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag window + running-sum window + final groupBy all share the
+    # user_id hash partitioning → exactly ONE exchange
+    df = q(spark, "sessionize_events")
+    assert count_exchanges(df) == 1
+    assert not has_python_eval(df)
+
+
+def test_q17_probe_side_never_shuffles(spark):
+    df = q(spark, "q17_small_quantity_revenue")
+    # the per-part threshold table (|parts| rows ≪ |lineitem|) must be
+    # broadcast, so the probe lineitem is never hash-shuffled: the only
+    # exchanges are the threshold agg and the final single-row merge
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 2
+
+
+def test_q10_topk_avoids_global_sort(spark):
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q(spark, "q10_returned_revenue_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert has_pushed_filters(q(spark, "q10_returned_revenue_topk"), "l_returnflag")
+
+
+def test_minmax_by_single_shuffle(spark):
+    df = q(spark, "minmax_by_priority")
+    assert count_exchanges(df) == 1
+    assert not has_python_eval(df)
+
+
+def test_array_stats_no_shuffle_no_python(spark):
+    # per-row higher-order functions: map-only plan
+    df = q(spark, "array_stats_embeddings")
+    assert count_exchanges(df) == 0
+    assert not has_python_eval(df)
