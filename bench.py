@@ -25,9 +25,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    "q6_discount_revenue",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "q18_large_order_customers",
     "window_topk_orders_per_cust",
     "window_running_user_spend",
     "asof_join_purchase_signup",
+    "sessionize_events",
     "json_extract_event_stats",
     "text_stats",
     "dedup_exact",

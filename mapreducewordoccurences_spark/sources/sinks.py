@@ -35,6 +35,30 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    Bucketing pre-shuffles ONCE at write time: every table bucketed by
+    the same keys into the same bucket count joins/aggregates on those
+    keys with NO exchange at read time (sorted buckets also skip the
+    sort-merge sort). This is the at-scale answer for a fact table
+    that's joined on the same key by many queries per day — pay the
+    shuffle once, not per query. Bucketed layout requires the table
+    catalog (``saveAsTable``), not a bare path."""
+    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def start_foreach_batch_sink(
     stream_df: DataFrame,
     batch_fn,

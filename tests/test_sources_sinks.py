@@ -75,3 +75,33 @@ def test_whole_file_text_read(spark, tmpd):
         f.write("line one\nline two\n")
     assert read_text(spark, p).count() == 2
     assert read_text(spark, p, whole_file=True).count() == 1
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmpd):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with NO exchange and NO sort at read time — the write-once shuffle
+    contract that makes repeated fact-fact joins cheap at scale."""
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+    from mapreducewordoccurences_spark.sources.sinks import write_bucketed
+
+    left = spark.createDataFrame(
+        [(i % 97, i, float(i)) for i in range(5000)], "k bigint, id bigint, v double"
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(97)], "k bigint, name string"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the assertion targets the bucketed path, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(left, "bkt_left", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(right, "bkt_right", ["k"], n_buckets=8, sort_cols=["k"])
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
