@@ -84,3 +84,58 @@ def test_stateful_running_user_totals(spark):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_transform_with_state_running_user_totals(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API, RocksDB
+    provider): same contract as the applyInPandasWithState version —
+    final per-user totals equal the batch aggregation."""
+    from mapreducewordoccurences_spark.streaming.stateful import (
+        ROCKSDB_STATE_CONF,
+        running_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState needs protobuf (absent here)")
+
+    d = tempfile.mkdtemp(prefix="stateful_tws_")
+    conf_key = next(iter(ROCKSDB_STATE_CONF))
+    prev = spark.conf.get(conf_key)
+    try:
+        for k, v in ROCKSDB_STATE_CONF.items():
+            spark.conf.set(k, v)
+        src = os.path.join(d, "src")
+        rows = [(i, 1 + (i % 3), float(i % 10), i * 1000) for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, value double, ts bigint"
+        )
+        df.write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "event_id bigint, user_id bigint, value double, ts bigint"
+        ).parquet(src)
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("user_totals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM user_totals_tws").collect()
+        }
+        expected = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in df.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        spark.conf.set(conf_key, prev)
+        shutil.rmtree(d, ignore_errors=True)
