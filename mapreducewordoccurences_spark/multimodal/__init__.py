@@ -4,6 +4,7 @@ from mapreducewordoccurences_spark.multimodal.media import (
     fake_image_bytes,
     decode_image_meta,
     extract_image_features,
+    resize_images,
     sample_frames,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "fake_image_bytes",
     "decode_image_meta",
     "extract_image_features",
+    "resize_images",
     "sample_frames",
 ]

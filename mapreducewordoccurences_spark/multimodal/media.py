@@ -146,6 +146,73 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """payload → payload re-encoded at (target_width, target_height).
+
+    STUB resample: a real pipeline would decode → interpolate →
+    re-encode (Pillow/opencv — absent here); the stub rewrites the
+    header dims and nearest-neighbor-samples the fake body so output
+    size tracks the target like a real resize would. The Spark-side
+    contract is the real part: binary in / binary out, Arrow-batched,
+    constant memory per batch — resized payloads REPLACE originals in
+    the same column so downstream stages are layout-agnostic.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+    hdr_size = _HEADER.size
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        header = _struct.Struct("<8sHHBB")  # Struct objects don't pickle
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for p in pdf[payload_col]:
+                hdr = _parse_header(p)
+                if hdr is None:
+                    payloads.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
+                w, h, c, f = hdr
+                body = p[hdr_size:]
+                n_out = min(target_width * target_height * c, 4096)
+                n_in = len(body)
+                # nearest-neighbor over the stub body
+                out_body = (
+                    bytes(body[(i * n_in) // n_out] for i in range(n_out))
+                    if n_in and n_out
+                    else b""
+                )
+                payloads.append(
+                    header.pack(_MAGIC, target_width, target_height, c, f) + out_body
+                )
+                widths.append(target_width)
+                heights.append(target_height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     every_nth: int = 2,

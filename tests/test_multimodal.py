@@ -72,3 +72,26 @@ def test_features_feed_similarity_operators(spark, media_df):
     got = knn.collect()
     assert len(got) == 2
     assert all(r["query_id"] == 1 for r in got)
+
+
+def test_resize_images_rewrites_dims_and_payload(media_df):
+    from mapreducewordoccurences_spark.multimodal import decode_image_meta, resize_images
+
+    resized = resize_images(media_df, target_width=32, target_height=24)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    # decodable payloads come back at the target dims…
+    for mid in (1, 2, 3):
+        assert (rows[mid]["width"], rows[mid]["height"]) == (32, 24)
+        assert rows[mid]["payload"] is not None
+    # …and re-decode to the new header (round-trip through the codec)
+    meta = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in decode_image_meta(resized).collect()
+    }
+    assert meta[1] == (32, 24) and meta[2] == (32, 24)
+    # garbage/NULL payloads stay NULL, never crash the batch
+    assert rows[4]["payload"] is None and rows[5]["payload"] is None
+    # output body shrank for the big image (32*24*3 vs 320*240*3 capped)
+    assert len(rows[2]["payload"]) < len(
+        {r["media_id"]: r for r in media_df.collect()}[2]["payload"]
+    )
