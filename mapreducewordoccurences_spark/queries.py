@@ -469,8 +469,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats",
     """
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
-           len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS INT) AS n_distinct_tokens,
            length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
              / NULLIF(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0) AS avg_token_len,
            length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
@@ -982,11 +982,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_bpe",
     """
     SELECT doc_id,
-           len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(text,
              '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ 	
 A-Za-z0-9'']+|[ 	
-]+')) AS n_bpe_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens
+]+')) AS INT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_word_tokens
     FROM documents
     """,
 )
@@ -1051,7 +1051,7 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_profit_by_nation_year",
     """
     SELECT n_name,
-           year(o_orderdate) AS o_year,
+           CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
                 AS DOUBLE) AS revenue
     FROM lineitem
@@ -1436,9 +1436,9 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_stats_embeddings",
     """
     SELECT vec_id,
-           len(embedding) AS dim,
+           CAST(len(embedding) AS INT) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_component,
-           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
            CAST(list_sum(list_transform(embedding,
                 x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                           AS DECIMAL(28,10)))) AS DOUBLE) AS l2_norm_sq
@@ -1471,13 +1471,15 @@ def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "date_functions_orders",
     """
-    SELECT year(o_orderdate) AS o_year,
-           quarter(o_orderdate) AS o_quarter,
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(quarter(o_orderdate) AS INT) AS o_quarter,
            COUNT(*) AS n_orders,
-           MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month,
-           MAX(last_day(CAST(o_orderdate AS DATE))) AS last_month_end,
-           MAX(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)))
-             AS max_days_since_epoch_start
+           CAST(MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS TIMESTAMP)
+             AS first_month,
+           CAST(MAX(last_day(CAST(o_orderdate AS DATE))) AS TIMESTAMP)
+             AS last_month_end,
+           CAST(MAX(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)))
+             AS INT) AS max_days_since_epoch_start
     FROM orders
     GROUP BY year(o_orderdate), quarter(o_orderdate)
     """,
@@ -1494,12 +1496,16 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias(
-                "first_month"
-            ),
-            F.max(F.last_day(F.col("o_orderdate").cast("date"))).alias(
-                "last_month_end"
-            ),
+            # TIMESTAMP (not DATE) output: date values round-trip to
+            # driver-side Python date objects while the oracle yields
+            # datetime64 — a dtype mismatch with equal values. One
+            # timestamp type on both sides removes the ambiguity.
+            F.min(F.date_trunc("month", "o_orderdate").cast("date"))
+            .cast("timestamp")
+            .alias("first_month"),
+            F.max(F.last_day(F.col("o_orderdate").cast("date")))
+            .cast("timestamp")
+            .alias("last_month_end"),
             F.max(
                 F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
             ).alias("max_days_since_epoch_start"),
