@@ -82,8 +82,17 @@ def ngram_jaccard_pairs(
     dedupe repeated subtrees. The cache lives until LRU eviction or
     ``spark.catalog.clearCache()``; pass False for one-shot pipelines
     that would rather re-tokenize than hold executor memory.
+
+    Shingles are folded to 64-bit xxhash64 BEFORE the self-join: the
+    shuffle then carries 8-byte longs instead of ~n-word strings
+    (~3× smaller exchange, cheaper key compares). A hash collision
+    would merge two shingles and nudge one intersection count; at
+    P ≈ n_distinct²/2⁶⁴ that is ~1e-7 even for 10⁶ distinct shingles —
+    far below any dedup threshold's sensitivity.
     """
-    sh = shingles_df(df, id_col, text_col, n)
+    sh = shingles_df(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
     if persist:
         sh = sh.persist()
     if max_shingle_df is not None:

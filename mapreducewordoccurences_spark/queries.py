@@ -1541,6 +1541,89 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_disc_order_price",
+    """
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS median_price,
+           quantile_disc(o_totalprice, 0.9) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (percentile_disc): returns an ACTUAL
+    element of the group — no interpolation arithmetic, so the result
+    is bit-identical across engines and partitionings (interpolating
+    percentile_cont is float-order-sensitive; the approximate tier is
+    percentile_approx, covered elsewhere)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+            "median_price"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+            "p90_price"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "collect_sorted_sources_by_lang",
+    """
+    SELECT lang,
+           array_to_string(list_sort(list(source))[1:3], ',') AS first_sources,
+           COUNT(*) AS n_pairs
+    FROM (SELECT DISTINCT lang, source FROM documents)
+    GROUP BY lang
+    """,
+)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-to-array surface: collect_list is UNORDERED in a distributed
+    engine, so any use feeding output must array_sort before slicing —
+    the only way a collected array is deterministic. Output is a
+    joined string so the comparison is value-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select("lang", "source").distinct()
+    return pairs.groupBy("lang").agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("source")), 1, 3), ","
+        ).alias("first_sources"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+@register(
+    "setop_nationkeys_except_all",
+    """
+    SELECT nationkey, COUNT(*) AS n
+    FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics — multiplicities subtract,
+    unlike the distinct EXCEPT elsewhere in the catalog). Spark plans
+    it as a single hash aggregation over tagged counts."""
+    from mapreducewordoccurences_spark.operators.setops import except_all
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return except_all(cust, supp).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
