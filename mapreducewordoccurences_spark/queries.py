@@ -316,7 +316,7 @@ def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_topk_orders_per_cust",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -413,7 +413,8 @@ def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
@@ -542,7 +543,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_topk",
     """
-    SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
@@ -743,7 +744,7 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_words_per_doc",
     """
-    SELECT doc_id, word, tf, rnk FROM (
+    SELECT doc_id, word, tf, CAST(rnk AS INT) AS rnk FROM (
       SELECT doc_id, word, tf,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, word) AS rnk
       FROM (
@@ -892,7 +893,7 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey,
            upper(p_brand) AS brand_upper,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS INT) AS name_len,
            substr(p_type, 1, 5) AS type_prefix,
            CASE WHEN p_name LIKE '%steel%' THEN 1 ELSE 0 END AS is_steel,
            concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size
@@ -1627,9 +1628,9 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
     FROM orders
     GROUP BY o_orderpriority
     """,
