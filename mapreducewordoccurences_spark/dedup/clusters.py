@@ -75,6 +75,96 @@ def connected_components(
     return labels
 
 
+def connected_components_two_phase(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Same output contract as ``connected_components``; different round
+    complexity: label propagation needs O(diameter) rounds, star
+    rounds CONTRACT the graph (large-star hangs every node's larger
+    neighbors under its minimum neighbor; small-star re-hangs the rest)
+    and converge in O(log² n) — even on pathological chain graphs
+    where the diameter is the node count. Use this variant when the
+    dup graph may contain long chains (e.g. drifting near-dup
+    sequences); cliques converge in 2-3 rounds under either.
+
+    Each round is two groupBys over the edge list; per-round
+    ``localCheckpoint`` truncates lineage exactly as in
+    ``connected_components``.
+    """
+    # normalize to undirected edges u≠v, deduped
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # ---- large-star: for each node, link every LARGER neighbor to
+        # m = min(neighborhood ∪ self)
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u2"), F.col("m").alias("v2"))
+            .where(F.col("u2") != F.col("v2"))
+            .select(
+                F.least("u2", "v2").alias("u"), F.greatest("u2", "v2").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: every node links its SMALLER-OR-EQUAL
+        # neighbors to m = min(smaller neighbors ∪ self)
+        sym2 = large.select("u", "v").union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        smaller = sym2.where(F.col("v") < F.col("u"))
+        m2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smaller.join(m2, "u")
+            .select(
+                F.when(F.col("v") != F.col("m"), F.col("v")).otherwise(F.col("u")).alias("u2"),
+                F.col("m").alias("v2"),
+            )
+            .where(F.col("u2") != F.col("v2"))
+            .select(
+                F.least("u2", "v2").alias("u"), F.greatest("u2", "v2").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the edge set is a stable star forest (edges
+        # unchanged by a full round)
+        if small.exceptAll(e).limit(1).count() == 0 and e.exceptAll(small).limit(1).count() == 0:
+            e = small
+            break
+        e = small
+
+    # star forest → labels: every v in an edge (u, v) with u<v hangs
+    # under u; roots label themselves
+    members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .join(members.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return members.unionByName(roots)
+
+
 def dup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
