@@ -1625,6 +1625,58 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_nationkeys_intersect_all",
+    """
+    SELECT nationkey, COUNT(*) AS n
+    FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (pairwise with the EXCEPT ALL query:
+    min-of-multiplicities semantics)."""
+    from mapreducewordoccurences_spark.operators.setops import intersect
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return intersect(cust, supp, all=True).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "deterministic_sample_documents",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          % 100 < 10
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample by hashing the key — the at-scale
+    sampling idiom. ``df.sample(seed)`` depends on partitioning (AQE
+    replans, file splits, cluster size all change the rows); hashing
+    the primary key gives the SAME sample on any engine, any layout,
+    any day — which is what an eval-set extraction needs. md5 here
+    (not xxhash64) because the sample must be portable across engines
+    by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int") % 100
+    return docs.where(bucket < 10).select("doc_id", "lang", "n_chars")
+
+
+@register(
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
