@@ -60,12 +60,28 @@ def main() -> int:
     spark.range(1000).selectExpr("sum(id)").collect()
     startup = time.monotonic() - t0
 
+    # BASELINE.md protocol: best of N warm runs — the first execution of
+    # each plan shape pays whole-stage-codegen compilation (~1-3 s),
+    # which a long-lived cluster pays once per plan, not per query run.
+    # Cold (first-run) times are reported alongside.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t = time.monotonic()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t, 3)
+        best = float("inf")
+        for r in range(runs):
+            t = time.monotonic()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.monotonic() - t, 3)
+            if r == 0:
+                cold[name] = dt
+            best = min(best, dt)
+            # operators that persist() reused subtrees (minhash/ngram)
+            # would otherwise accumulate caches across runs/queries and
+            # skew later timings with eviction pressure
+            spark.catalog.clearCache()
+        timings[name] = best
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,6 +94,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "startup_sec": round(startup, 3),
+                "cold_total_sec": round(sum(cold.values()), 3),
+                "runs_per_query": runs,
                 "cpus": int(cpus),
             }
         )
