@@ -1677,6 +1677,101 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_orders_status",
+    """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS status_F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS status_O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS status_P
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n
+    FROM wide UNPIVOT (n FOR status IN (status_F, status_O, status_P))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (inverse of the pivot query) via the
+    ``stack`` generator — a map-side Generate, no shuffle beyond the
+    upstream aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("status_F"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("status_O"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("status_P"),
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'status_F', status_F, 'status_O', status_O, 'status_P', status_P)"
+        " AS (status, n)",
+    )
+
+
+@register(
+    "range_frame_hourly_spend",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_spend
+    FROM events
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each event's trailing-hour spend. Unlike a
+    ROWS frame, peers (equal timestamps) always share a frame, so the
+    result needs no tiebreak to be deterministic. Epoch-micros ordering
+    keys on both engines; decimal-exact sums."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_spend"),
+    )
+
+
+@register(
+    "rank_family_part_prices",
+    """
+    SELECT p_partkey,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family (ntile / percent_rank / cume_dist) per
+    brand. The (price, partkey) composite makes the order total, so
+    there are no peer rows and both ratio functions are single int/int
+    divisions — deterministic doubles."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_partkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
