@@ -1772,6 +1772,112 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_documents",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(text) AS n_text_nonnull,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (row/null/distinct/min/max/total) — the
+    data-quality audit a pipeline runs before training ingestion.
+    Single scan, single-row output; exact distincts are fine for
+    low-cardinality columns (swap in approx_count_distinct for
+    high-cardinality ones)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("text").alias("n_text_nonnull"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.col("n_chars").cast("decimal(28,0)")).cast("bigint").alias(
+            "total_chars"
+        ),
+    )
+
+
+@register(
+    "length_filtered_documents",
+    """
+    WITH bounds AS (
+        SELECT quantile_disc(n_chars, 0.05) AS lo,
+               quantile_disc(n_chars, 0.95) AS hi
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           MIN(n_chars) AS min_c, MAX(n_chars) AS max_c
+    FROM documents, bounds
+    WHERE n_chars >= lo AND n_chars <= hi
+    GROUP BY lang
+    """,
+)
+def q_length_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length gate (drop the shortest/longest 5%) — the
+    standard pre-training length filter. The [p5, p95] bounds are a
+    1-row aggregate broadcast-cross-joined to the corpus (no driver
+    collect); percentile_disc keeps the bounds exact and
+    engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").alias("hi"),
+    )
+    kept = docs.crossJoin(F.broadcast(bounds)).where(
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("n_chars").alias("min_c"),
+        F.max("n_chars").alias("max_c"),
+    )
+
+
+_STOPWORDS = (
+    "the and of to is in that it for with a on as are was".split()
+)
+
+
+@register(
+    "wordcount_no_stopwords_topk",
+    f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents)
+    WHERE word NOT IN ({", ".join("'" + w + "'" for w in _STOPWORDS)})
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 50
+    """,
+)
+def q_wordcount_no_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowercased wordcount with a stopword gate — vocabulary-building
+    shape. The stopword list is a literal isin() filter (Catalyst
+    compiles it to a hash set); at real vocabulary scale it would be a
+    broadcast semi-join against a stopword table."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("word")
+    )
+    return (
+        words.where(~F.col("word").isin(_STOPWORDS))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+@register(
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
