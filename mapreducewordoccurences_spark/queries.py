@@ -585,6 +585,52 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("udf_vector_norms")  # rows-only: Python-UDF surface (by design)
+def q_udf_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas-UDF surface: per-row L2 norms of embeddings.
+    (Deliberately the one catalog entry with Python in the plan — the
+    extension contract, not a hot path.)"""
+    from mapreducewordoccurences_spark.functions.udfs import vector_norm_udf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(vector_norm_udf("embedding"), 6).alias("l2_norm")
+    )
+
+
+@register("udaf_zscore_by_label")  # rows-only: grouped-map pandas shape
+def q_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas (UDAF shape): per-label z-scored
+    embeddings, summarized to a checkable scalar per vector."""
+    from mapreducewordoccurences_spark.functions.udfs import zscore_by_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    z = zscore_by_group(emb)
+    return z.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.aggregate("zscored", F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("z_sq_sum"),
+    )
+
+
+@register("udtf_sentence_stats")  # rows-only: UDTF lateral surface
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (one row → many): per-sentence stats over documents
+    via a lateral join."""
+    from mapreducewordoccurences_spark.functions.udfs import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.n_words
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 @register("language_id")  # rows-only: argmax-over-structs heuristic
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents"))
