@@ -152,3 +152,22 @@ def test_array_stats_no_shuffle_no_python(spark):
     df = q(spark, "array_stats_embeddings")
     assert count_exchanges(df) == 0
     assert not has_python_eval(df)
+
+
+# the ONLY catalog entries allowed to put Python in the plan: the
+# explicit UDF/UDAF/UDTF extension surface and the pandas-backed
+# streaming/stateful demos
+PYTHON_ALLOWED = {"udf_vector_norms", "udaf_zscore_by_label", "udtf_sentence_stats"}
+
+
+def test_catalog_hot_paths_have_no_python(spark):
+    failures = []
+    for name in sorted(QUERIES):
+        if name in PYTHON_ALLOWED:
+            continue
+        try:
+            if has_python_eval(q(spark, name)):
+                failures.append(name)
+        except Exception as e:  # building the plan must also succeed
+            failures.append(f"{name}: {type(e).__name__}")
+    assert not failures, failures
