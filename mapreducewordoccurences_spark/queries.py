@@ -1924,6 +1924,51 @@ def q_wordcount_no_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_documents_to_sequences",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT)
+                 AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 256) AS BIGINT)
+                 AS pack_id
+        FROM toks
+    )
+    SELECT lang, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign docs to ~256-token bins
+    (the pre-training packing step, scaled down). pack_id =
+    floor(exclusive-prefix-token-sum / capacity) over a doc_id-ordered
+    window — fully deterministic (vs. greedy per-partition packers
+    whose output depends on partitioning), one shuffle per lang
+    partition, and the window + final groupBy share it."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0)).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256).cast("bigint"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@register(
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
