@@ -1969,6 +1969,169 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_pair_revenue",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume. The nation dim joins
+    TWICE under different roles (customer's vs supplier's) — broadcast
+    both; the n_name inequality dedupes unordered pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .where(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q11_top_value_parts",
+    """
+    WITH pv AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS val
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT CAST(SUM(val) AS DOUBLE) AS total,
+                      COUNT(*) AS n_parts FROM pv)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(val AS DOUBLE) > total / n_parts * 1.2
+    """,
+)
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a multiple of the GLOBAL mean
+    (parts 20% above average value — scale-free, so the predicate
+    stays selective at every SF). The global aggregate re-aggregates
+    the per-part aggregate (tiny) and broadcasts back as a 1-row cross
+    join — two shuffles total, no driver collect, no second lineitem
+    scan. total/n*1.2 is a fixed op sequence — same double on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("val")
+    )
+    tot = pv.agg(
+        F.sum("val").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("val").cast("double")
+            > F.col("total") / F.col("n_parts") * 1.2
+        )
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 5)
+       OR (p_type = 'PROMO' AND l_quantity < 5)
+    """,
+)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates. The OR
+    spans both sides so it can't push below the join — the join stays
+    a plain broadcast equi-join and the disjunction filters after;
+    Catalyst still pushes the p_brand/p_type IN-set and per-branch
+    ranges where it can."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") < 5))
+    )
+    return joined.where(cond).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        decimal_sum("l_extendedprice", scale=6, alias="total"),
+    )
+
+
+@register(
+    "q21_sole_qualifying_supplier",
+    """
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_quantity >= 45
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_quantity >= 45)
+    GROUP BY s_name
+    """,
+)
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: orders where exactly ONE supplier ships a
+    jumbo (≥45) line while other suppliers participate. The correlated
+    EXISTS/NOT-EXISTS pair is rewritten as per-order aggregates joined
+    back (count of distinct suppliers, count of distinct QUALIFYING
+    suppliers) — one extra pass over lineitem instead of two
+    correlated probes; the tiny per-order table broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(
+            F.when(F.col("l_quantity") >= 45, F.col("l_suppkey"))
+        ).alias("n_qual_supps"),
+    )
+    qual = li.where(F.col("l_quantity") >= 45)
+    return (
+        qual.join(per_order, "l_orderkey")
+        .where((F.col("n_supps") >= 2) & (F.col("n_qual_supps") == 1))
+        .join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    )
+
+
+@register(
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
