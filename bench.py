@@ -26,6 +26,7 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_region_revenue",
     "q6_discount_revenue",
+    "q8_market_share",
     "q9_profit_by_nation_year",
     "q13_order_count_distribution",
     "q18_large_order_customers",
@@ -54,6 +55,16 @@ def main() -> int:
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf={
+            # local-mode driver defaults to a 1g heap regardless of host
+            # RAM; GC pauses then dominate the persist-heavy dedup ops
+            # and add multi-second run-to-run variance
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            # ~20 queries × whole-stage-codegen classes overflow the
+            # default ~240m JIT code cache; once full, later queries run
+            # interpreted (observed 3× slowdowns on the dedup ops)
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+        },
     )
     # warm the JVM/codegen paths so per-query numbers measure the plan,
     # not first-call class loading
