@@ -1,0 +1,44 @@
+"""Partitioning-invariance: catalog results must be IDENTICAL (not
+approximately equal) under different shuffle-partition counts — the
+engine's core determinism claim (decimal-exact sums, total orders,
+integer arithmetic) means an AQE re-plan or cluster resize can never
+change an answer.
+
+Representative set: decimal aggregation (q1), fact-fact join + agg
+(q9), windowed (sessionize), ratio (q14), dedup estimation (minhash),
+packing (prefix sums).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducewordoccurences_spark.queries import QUERIES
+
+from tests.conftest import SF_DIR
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "q14_promo_revenue_ratio",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "pack_documents_to_sequences",
+]
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_results_invariant_under_shuffle_partitions(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = rows_of(QUERIES[name](spark, SF_DIR))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        many = rows_of(QUERIES[name](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert few == many, f"{name}: results changed with partition count"
