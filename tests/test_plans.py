@@ -154,6 +154,22 @@ def test_array_stats_no_shuffle_no_python(spark):
     assert not has_python_eval(df)
 
 
+def test_pack_sequences_single_shuffle(spark):
+    # the lang-partitioned window and the (lang, pack_id) groupBy
+    # share one exchange — packing costs one shuffle total
+    df = q(spark, "pack_documents_to_sequences")
+    assert count_exchanges(df) == 1
+    assert not has_python_eval(df)
+
+
+def test_q21_bounded_exchanges(spark):
+    # correlated EXISTS/NOT-EXISTS rewritten as per-order aggregates:
+    # per-order agg, qualifying-side join, final groupBy — never more
+    df = q(spark, "q21_sole_qualifying_supplier")
+    assert count_exchanges(df) <= 3
+    assert not has_python_eval(df)
+
+
 # the ONLY catalog entries allowed to put Python in the plan: the
 # explicit UDF/UDAF/UDTF extension surface and the pandas-backed
 # streaming/stateful demos
