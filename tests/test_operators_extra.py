@@ -141,3 +141,24 @@ def test_sliding_window_counts(spark, tmp_path):
     # events at :00,:20,:50 → window 23:30 has 2 (0,20), 00:00 has 3,
     # 00:30 has 1 (50)
     assert got == {("23:30", 2), ("00:00", 3), ("00:30", 1)}
+
+
+def test_asof_join_null_timestamps_yield_null_match(spark):
+    """NULL left timestamps must produce a row with a NULL match (nulls
+    order first in the window, before any right row) — never a crash,
+    never a spurious match."""
+    from mapreducewordoccurences_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b"), (2, 5, "c")], "k bigint, ts bigint, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "r1"), (2, 1, "r2")], "k bigint, ts bigint, rv string"
+    )
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rv"]
+        ).collect()
+    }
+    assert out == {"a": "r1", "b": None, "c": "r2"}
