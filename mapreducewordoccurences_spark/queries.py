@@ -2360,6 +2360,96 @@ def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "first_last_orders_per_month",
+    """
+    SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY year(o_orderdate), month(o_orderdate)
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame navigation functions (first/last/nth_value) with the
+    FULL-partition frame — last_value over the default frame is the
+    classic silent bug (it returns the CURRENT row); the explicit
+    unbounded-both frame plus a total order makes all three
+    deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy(F.year("o_orderdate"), F.month("o_orderdate"))
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    ).distinct()
+
+
+@register(
+    "scrub_digits_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS scrub_fp,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             AS n_digits
+    FROM documents
+    """,
+)
+def q_scrub_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing (the PII-redaction shape: digit runs → '#')
+    verified through an md5 fingerprint of the scrubbed text — md5 is
+    engine-portable, so the oracle proves the SCRUBBED BYTES are
+    identical, not just row counts. POSIX character classes only (no
+    \\\\d) — identical semantics in Java and RE2-family engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "[0-9]+", "#")).alias("scrub_fp"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("n_digits"),
+    )
+
+
+@register(
+    "token_stopword_overlap",
+    """
+    SELECT doc_id,
+           CAST(len(list_intersect(
+                 list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                 ['the', 'and', 'of', 'to', 'is'])) AS INT) AS n_stop_present,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+             AS INT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def q_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (array_intersect/array_distinct) against a
+    literal vocabulary — set-membership features computed entirely
+    JVM-side, the shape used for stopword-density and
+    blocklist-overlap scoring."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    )
+    stop = F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "is"]])
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(toks, stop)).cast("int").alias("n_stop_present"),
+        F.size(toks).cast("int").alias("n_distinct_tokens"),
+    )
+
+
+@register(
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
