@@ -2450,6 +2450,73 @@ def q_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_arithmetic_orders",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS due_date,
+           CAST(o_orderdate - INTERVAL 90 DAY AS TIMESTAMP) AS lookback,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1995 * 12 + 1) AS INT) AS months_since
+    FROM orders
+    """,
+)
+def q_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic (month add with end-of-month
+    clamping, day subtract). Month distance is computed as a
+    year*12+month difference — boundary-count semantics identical on
+    both engines (Spark's months_between is FRACTIONAL and would
+    diverge)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 3 MONTH").alias("due_date"),
+        F.expr("o_orderdate - INTERVAL 90 DAY").alias("lookback"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - F.lit(1995 * 12 + 1)
+        )
+        .cast("int")
+        .alias("months_since"),
+    )
+
+
+@register(
+    "map_functions_order_status",
+    """
+    SELECT o_orderpriority,
+           m['F'][1] AS n_f,
+           m['O'][1] AS n_o,
+           CAST(cardinality(m) AS INT) AS n_keys
+    FROM (
+        SELECT o_orderpriority,
+               MAP(['F', 'O'],
+                   [CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT),
+                    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)])
+                 AS m
+        FROM orders GROUP BY o_orderpriority
+    )
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a map from aggregates
+    (map_from_arrays), extract by key (element_at), measure
+    (size) — emitted as plain scalars so the comparison is
+    engine-neutral (map column layouts aren't)."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("o"),
+    )
+    m = F.map_from_arrays(F.array(F.lit("F"), F.lit("O")), F.array("f", "o"))
+    return agg.select(
+        "o_orderpriority",
+        F.element_at(m, "F").alias("n_f"),
+        F.element_at(m, "O").alias("n_o"),
+        F.size(m).cast("int").alias("n_keys"),
+    )
+
+
+@register(
     "pivot_orders_status_by_priority",
     """
     SELECT o_orderpriority,
