@@ -39,7 +39,15 @@ def vector_norm_udf(vecs: pd.Series) -> pd.Series:
     functions/similarity.py — this UDF exists as the canonical
     vectorized-UDF example and for logic numpy has but Catalyst
     lacks.)"""
-    return vecs.map(lambda v: float(np.sqrt(np.dot(v, v))) if v is not None else None)
+    def norm(v):
+        if v is None:
+            return None
+        # float64 accumulation: keeps the result oracle-comparable
+        # (float32 dot products drift ~1e-7, past round-6 tolerance)
+        v64 = np.asarray(v, dtype=np.float64)
+        return float(np.sqrt(np.dot(v64, v64)))
+
+    return vecs.map(norm)
 
 
 def zscore_by_group(
@@ -62,7 +70,9 @@ def zscore_by_group(
     )
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf[vec_col].to_numpy())
+        # float64 up front: float32 mean/std accumulation error (~1e-7
+        # relative) would exceed the round-4 oracle tolerance downstream
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         mean = mat.mean(axis=0)
         std = mat.std(axis=0)
         std[std == 0] = 1.0

@@ -585,7 +585,15 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udf_vector_norms")  # rows-only: Python-UDF surface (by design)
+@register(
+    "udf_vector_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(
+               embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
 def q_udf_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pandas-UDF surface: per-row L2 norms of embeddings.
     (Deliberately the one catalog entry with Python in the plan — the
@@ -598,7 +606,30 @@ def q_udf_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udaf_zscore_by_label")  # rows-only: grouped-map pandas shape
+@register(
+    "udaf_zscore_by_label",
+    # z-scores recomputed relationally: per-(label, dim) mean/stddev_pop
+    # join. round(4) absorbs numpy-pairwise vs streaming-agg accumulation
+    # noise (~1e-12 on a ~64-term sum of O(1) values).
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), s AS (
+      SELECT label, i, AVG(CAST(x AS DOUBLE)) AS mu,
+             STDDEV_POP(CAST(x AS DOUBLE)) AS sd
+      FROM e GROUP BY label, i
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(SUM(POW((CAST(e.x AS DOUBLE) - s.mu)
+                         / (CASE WHEN s.sd = 0 THEN 1.0 ELSE s.sd END), 2)), 4)
+             AS z_sq_sum
+    FROM e JOIN s ON e.label = s.label AND e.i = s.i
+    GROUP BY e.vec_id, e.label
+    """,
+)
 def q_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInPandas (UDAF shape): per-label z-scored
     embeddings, summarized to a checkable scalar per vector."""
@@ -615,7 +646,23 @@ def q_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_sentence_stats")  # rows-only: UDTF lateral surface
+@register(
+    "udtf_sentence_stats",
+    # mirrors SplitSentences.eval: split on [.!?]+, drop all-whitespace
+    # parts, idx = position among kept parts, n_words = \\S+ runs
+    r"""
+    WITH parts AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '[.!?]+')) AS part,
+             generate_subscripts(regexp_split_to_array(text, '[.!?]+'), 1) AS pos
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS idx,
+           CAST(len(regexp_extract_all(part, '\S+')) AS INT) AS n_words
+    FROM parts WHERE regexp_matches(part, '\S')
+    """,
+)
 def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (one row → many): per-sentence stats over documents
     via a lateral join."""
@@ -631,12 +678,77 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("language_id")  # rows-only: argmax-over-structs heuristic
+@register(
+    "language_id",
+    # mirrors functions/text.py STOPWORDS + argmax with lexicographic-
+    # first tie-break (langs in sorted order: de,en,es,fr,zh; zh list is
+    # empty so s_zh = 0). Scores are single int/int divides — exact.
+    """
+    WITH sc AS (
+      SELECT doc_id,
+             COALESCE(len(list_intersect(list_distinct(toks),
+               ['der','die','und','das','ist','von','mit','den','nicht','ein']))
+               / NULLIF(len(toks), 0), 0.0) AS s_de,
+             COALESCE(len(list_intersect(list_distinct(toks),
+               ['the','and','of','to','is','in','that','it','for','with']))
+               / NULLIF(len(toks), 0), 0.0) AS s_en,
+             COALESCE(len(list_intersect(list_distinct(toks),
+               ['el','la','de','que','y','en','los','del','se','las']))
+               / NULLIF(len(toks), 0), 0.0) AS s_es,
+             COALESCE(len(list_intersect(list_distinct(toks),
+               ['le','la','les','de','et','est','des','une','dans','que']))
+               / NULLIF(len(toks), 0), 0.0) AS s_fr,
+             0.0 AS s_zh
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_guess,
+           GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_score
+    FROM sc
+    """,
+)
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents"))
 
 
-@register("quality_score")  # rows-only: composite heuristic
+@register(
+    "quality_score",
+    # mirrors functions/text.py quality_score term by term, in the same
+    # left-to-right addition order (IEEE754 doubles: same operands +
+    # same order = bit-identical result across engines).
+    """
+    WITH b AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+             length(text) AS chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             alnum / NULLIF(len(toks), 0) AS avg_token_len,
+             alnum / NULLIF(chars, 0) AS alnum_ratio,
+             len(list_intersect(list_distinct(toks),
+               ['the','and','of','to','is','in','that','it','for','with'])) / 10.0
+               AS stopword_ratio
+      FROM b
+    )
+    SELECT doc_id, n_tokens, avg_token_len, alnum_ratio, stopword_ratio,
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.25 ELSE 0.0 END
+            + COALESCE(alnum_ratio, 0.0) * 0.25
+            + LEAST(stopword_ratio * 2, 1.0) * 0.25) AS quality
+    FROM m
+    """,
+)
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_t(spark, sf_dir, "documents"))
 
@@ -875,9 +987,17 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("approx_value_percentiles")  # rows-only: sketch-based quantiles
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per event_type. Projected to scalar p50/p90/p99
+    columns (not an array) so downstream row-hashers can canonicalize the
+    result; accuracy vs exact quantiles is asserted in pytest
+    (tests/test_extended_queries.py)."""
     ev = _t(spark, sf_dir, "events")
     pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    return ev.groupBy("event_type").agg(pct.alias("p50_p90_p99"))
+    return ev.groupBy("event_type").agg(
+        F.element_at(pct, 1).alias("p50"),
+        F.element_at(pct, 2).alias("p90"),
+        F.element_at(pct, 3).alias("p99"),
+    )
 
 
 @register(

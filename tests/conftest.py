@@ -1,10 +1,14 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from mapreducewordoccurences_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# Override to pre-flight the oracle-parity suite at driver scale:
+#   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE_DIR = "/root/testdata/sf0.01"
 
 

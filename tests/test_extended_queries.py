@@ -31,8 +31,7 @@ def test_approx_distinct_within_tolerance(spark):
 
 def test_approx_percentiles_ordered(spark):
     for r in QUERIES["approx_value_percentiles"](spark, SF_DIR).collect():
-        p50, p90, p99 = r["p50_p90_p99"]
-        assert p50 <= p90 <= p99
+        assert r["p50"] <= r["p90"] <= r["p99"]
 
 
 def test_language_id_tie_break_deterministic(spark):
