@@ -36,20 +36,19 @@ def embedding_near_dup_pairs(
     if exact:
         cand = a.join(b, on=F.col("id_a") < F.col("id_b"), how="inner")
     else:
-        parts = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-            parts.append(
-                df.select(
-                    F.col(id_col),
-                    F.col(vec_col),
-                    F.lit(t).alias("__table"),
-                    lsh_bucket(vec_col, planes).alias("__bucket"),
-                )
-            )
-        bucketed = parts[0]
-        for p in parts[1:]:
-            bucketed = bucketed.unionByName(p)
+        # ONE scan: every table's bucket id in a single projected array,
+        # posexploded to (table, bucket) rows — a per-table union would
+        # re-scan the corpus n_tables times (see functions/similarity.py
+        # lsh_knn bucketize, same pattern).
+        buckets = F.array(*[
+            lsh_bucket(vec_col, _hyperplanes(dim, n_planes, seed + 1000 * t))
+            for t in range(n_tables)
+        ])
+        bucketed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(buckets).alias("__table", "__bucket"),
+        )
         la = bucketed.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__table", "__bucket"
         )

@@ -280,19 +280,16 @@ def lsh_knn(
         tables.append((t, planes))
 
     def bucketize(df: DataFrame, ident: str) -> DataFrame:
-        parts = [
-            df.select(
-                F.col(id_col).alias(ident),
-                F.col(vec_col).alias(f"__vec_{ident}"),
-                F.lit(t).alias("__table"),
-                lsh_bucket(vec_col, planes).alias("__bucket"),
-            )
-            for t, planes in tables
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # ONE scan: all n_tables bucket ids computed in a single
+        # projected array, then posexplode to (table, bucket) rows.
+        # (A union of n_tables select() branches would re-scan the
+        # corpus once per table — 16 full passes at 100 TB.)
+        buckets = F.array(*[lsh_bucket(vec_col, planes) for _, planes in tables])
+        return df.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(f"__vec_{ident}"),
+            F.posexplode(buckets).alias("__table", "__bucket"),
+        )
 
     qb = bucketize(queries, query_id_col)
     cb = bucketize(corpus, "neighbor_id")

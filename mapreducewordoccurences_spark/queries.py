@@ -541,6 +541,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    # threshold applied to the UNROUNDED cosine on both engines; the
+    # rounded column only canonicalizes the output for value-hashing.
+    # (testdata embeddings are isotropic — max pairwise cos ≈ 0.51 —
+    # so 0.4 stands in for the ≥0.9 near-dup threshold real corpora use)
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 1000 AND b.vec_id < 1000
+    )
+    SELECT id_a, id_b, ROUND(cos_sim, 6) AS cos_sim FROM p WHERE cos_sim >= 0.4
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (verifier) tier on a
+    bounded slice; the LSH-bucketed scale tier is exercised in
+    tests/test_clusters.py with planted near-duplicates."""
+    from mapreducewordoccurences_spark.dedup.embedding import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
     "embedding_cosine_topk",
     """
     SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (

@@ -97,6 +97,17 @@ def test_dedup_exact_single_shuffle(spark):
     assert count_exchanges(q(spark, "dedup_exact")) == 1
 
 
+def test_lsh_knn_single_corpus_scan(spark):
+    from mapreducewordoccurences_spark.plans.explain import count_scans
+
+    # all n_tables bucket ids come from ONE projected array + posexplode;
+    # a per-table union would scan the corpus n_tables (16) times.
+    # 2 scans total: one for the corpus side, one for the query side.
+    df = q(spark, "embedding_lsh_topk")
+    assert count_scans(df) == 2
+    assert not has_python_eval(df)
+
+
 def test_q6_full_pushdown_scan_only(spark):
     df = q(spark, "q6_discount_revenue")
     # every predicate reaches the parquet scan…
