@@ -161,38 +161,17 @@ def kmeans_centroids(
     return centroids
 
 
-def ivf_knn(
-    corpus: DataFrame,
+def _probe_cells(
     queries: DataFrame,
-    k: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    nlist: int = 16,
-    nprobe: int = 4,
-    kmeans_iters: int = 2,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
 ) -> DataFrame:
-    """Approximate cosine top-k via IVF-flat.
-
-    Corpus rows join queries only within the query's ``nprobe``
-    nearest cells → the candidate set (and shuffle) shrinks by
-    ~nprobe/nlist vs brute force. Recall rises with nprobe (nprobe =
-    nlist ≡ exact). The centroid table is checkpointed via cache() —
-    it is reused by both the corpus assignment and the query probe.
-
-    At real scale: build ``kmeans_centroids`` + corpus assignment
-    offline, persist the assignment partitioned/bucketed by ``__cell``,
-    and only the probe join runs per query batch — it prunes to
-    nprobe cells via partition pruning before any shuffle."""
-    centroids = kmeans_centroids(
-        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
-    ).cache()
-
-    assigned = _assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    ).withColumnRenamed(vec_col, "__cvec")
-
-    # each query probes its nprobe nearest cells
+    """(query_id, __qvec, __cell) for each query's nprobe nearest
+    cells — centroids broadcast (nlist rows), per-query top-nprobe via
+    WindowGroupLimit."""
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec"))
     probe_scored = q.crossJoin(F.broadcast(centroids)).select(
         query_id_col,
@@ -200,16 +179,16 @@ def ivf_knn(
         "__cell",
         _sq_dist("__qvec", "__centroid").alias("__dist"),
     )
-    probes = top_k_per_group(
+    return top_k_per_group(
         probe_scored,
         [query_id_col],
         [F.col("__dist").asc(), F.col("__cell").asc()],
         nprobe,
     ).select(query_id_col, "__qvec", "__cell")
 
-    cand = assigned.join(probes, on="__cell").where(
-        F.col("neighbor_id") != F.col(query_id_col)
-    )
+
+def _rerank_candidates(cand: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    """Exact cosine re-rank of (query, neighbor) candidates → top-k."""
     scored = cand.select(
         query_id_col,
         "neighbor_id",
@@ -221,6 +200,106 @@ def ivf_knn(
         [F.col("sim").desc(), F.col("neighbor_id").asc()],
         k,
     ).select(query_id_col, "neighbor_id", "rnk", "sim")
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF-flat, index built inline.
+
+    Corpus rows join queries only within the query's ``nprobe``
+    nearest cells → the candidate set (and shuffle) shrinks by
+    ~nprobe/nlist vs brute force. Recall rises with nprobe (nprobe =
+    nlist ≡ exact). The centroid table (nlist rows) is materialized
+    eagerly via localCheckpoint so the k-means lineage runs once for
+    both the assignment and the probe; its blocks are freed when the
+    DataFrame is garbage-collected (no session-lifetime cache leak).
+
+    At real scale use ``build_ivf_index`` + ``ivf_probe`` instead:
+    the assignment is persisted ``partitionBy(__cell)`` once, and each
+    probe batch reads only nprobe/nlist of the files via dynamic
+    partition pruning."""
+    centroids = kmeans_centroids(
+        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+    ).localCheckpoint(eager=True)
+
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    ).withColumnRenamed(vec_col, "__cvec")
+
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col, query_id_col)
+    cand = assigned.join(probes, on="__cell").where(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    return _rerank_candidates(cand, k, query_id_col)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    mode: str = "overwrite",
+) -> None:
+    """One-time IVF-flat index build, persisted for partition-pruned
+    probes (the 100 TB layout the ivf_knn docstring prescribes):
+
+    - ``{path}/centroids``: nlist rows (__cell, __centroid)
+    - ``{path}/assignment``: every corpus vector under its nearest
+      cell, written ``partitionBy(__cell)`` — one directory per cell,
+      so a probe of nprobe cells reads nprobe/nlist of the files.
+
+    The index build shuffles O(corpus) rows once; probes never touch
+    the un-indexed corpus again.
+    """
+    centroids = kmeans_centroids(
+        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+    ).localCheckpoint(eager=True)
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+    assigned.write.mode(mode).partitionBy("__cell").parquet(f"{path}/assignment")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+    centroids.unpersist()
+
+
+def ivf_probe(
+    queries: DataFrame,
+    path: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index (``build_ivf_index``).
+
+    The assignment scan joins the (broadcast) probe list on ``__cell``
+    — the partition column — so Catalyst inserts a dynamic-partition-
+    pruning filter and only nprobe/nlist of the index files are read
+    (plan-tested in tests/test_plans.py). Per-batch cost is
+    O(|queries| × corpus × nprobe/nlist), independent of total corpus
+    file count."""
+    spark = queries.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = (
+        spark.read.parquet(f"{path}/assignment")
+        .withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(vec_col, "__cvec")
+    )
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col, query_id_col)
+    cand = assigned.join(F.broadcast(probes), on="__cell").where(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    return _rerank_candidates(cand, k, query_id_col)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:

@@ -97,6 +97,28 @@ def test_dedup_exact_single_shuffle(spark):
     assert count_exchanges(q(spark, "dedup_exact")) == 1
 
 
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_probe,
+    )
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+    from mapreducewordoccurences_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    build_ivf_index(emb, str(tmp_path / "ivf"), nlist=16)
+    res = ivf_probe(
+        emb.where(F.col("vec_id") < 10), str(tmp_path / "ivf"), k=5, nprobe=4
+    )
+    # the assignment scan must carry a dynamic-partition-pruning filter
+    # on __cell: a probe batch reads nprobe/nlist of the index files,
+    # never the whole index
+    assert "dynamicpruning" in formatted_plan(res)
+    assert res.count() > 0
+
+
 def test_lsh_knn_single_corpus_scan(spark):
     from mapreducewordoccurences_spark.plans.explain import count_scans
 
