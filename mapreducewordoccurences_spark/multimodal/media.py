@@ -80,6 +80,47 @@ def _parse_header(payload: bytes | None) -> tuple[int, int, int, int] | None:
     return w, h, c, f
 
 
+def make_fake_media(df: DataFrame, id_col: str = "doc_id", kind: str = "image") -> DataFrame:
+    """Deterministic MEDIA_SCHEMA corpus derived from an id column.
+
+    The testdata has no binary media, so payloads are generated as a
+    pure function of the id — which means an oracle can predict every
+    decoded dimension arithmetically, WITHOUT parsing payloads:
+
+        width    = 16 + id % 48
+        height   = 16 + (id * 7) % 40
+        channels = 1 + id % 3
+        n_frames = 1 + id % 5
+
+    The encode runs in Arrow-batched mapInPandas exactly like a real
+    media ingest would; the catalog queries (media_image_dims,
+    media_frame_sample) round-trip encode → decode and check the
+    result against the closed-form oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                fake_image_bytes(
+                    16 + int(i) % 48, 16 + (int(i) * 7) % 40, 1 + int(i) % 3, 1 + int(i) % 5
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kind,
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": f"{kind}/fake", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
     """payload → (media_id, width, height, channels, n_frames) via
     Arrow-batched mapInPandas. Undecodable payloads yield NULL dims
@@ -163,10 +204,15 @@ def resize_images(
     constant memory per batch — resized payloads REPLACE originals in
     the same column so downstream stages are layout-agnostic.
     """
+    if not (0 < target_width <= 0xFFFF and 0 < target_height <= 0xFFFF):
+        raise ValueError(
+            f"target dims must be in 1..65535 (header fields are uint16), "
+            f"got {target_width}x{target_height}"
+        )
     out_schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
             T.StructField("width", T.IntegerType(), True),
             T.StructField("height", T.IntegerType(), True),
         ]
@@ -203,8 +249,8 @@ def resize_images(
                 heights.append(target_height)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col],
-                    "payload": payloads,
+                    id_col: pdf[id_col],
+                    payload_col: payloads,
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                 }

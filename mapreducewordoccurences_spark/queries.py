@@ -615,6 +615,58 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_image_dims",
+    # the Spark side round-trips encode (mapInPandas) -> binary payload
+    # -> decode (mapInPandas) -> dims histogram; the oracle predicts
+    # the same histogram arithmetically from make_fake_media's
+    # closed-form dims — any plumbing break (header packing, Arrow
+    # batch shape, NULL handling) diverges the hash.
+    """
+    SELECT CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 40 AS INT) AS height,
+           count(*) AS n_images
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: deterministic fake payloads
+    (multimodal/media.py) encoded and decoded through Arrow-batched
+    mapInPandas, then a relational dims histogram."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        decode_image_meta,
+        make_fake_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    meta = decode_image_meta(make_fake_media(docs))
+    return meta.groupBy("width", "height").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+@register(
+    "media_frame_sample",
+    # n_frames = 1 + doc_id % 5 (make_fake_media), every_nth=2 →
+    # kept frame indices are range(0, n_frames, 2), oracle-computable
+    # without touching payload bytes
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, CAST(1 + doc_id % 5 AS INT), 2)) AS INT) AS frame_idx
+    FROM documents
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame-sampling fan-out (one row per kept frame)
+    over the deterministic fake clips."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        make_fake_media,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sample_frames(make_fake_media(docs), every_nth=2)
+
+
+@register(
     "udf_vector_norms",
     """
     SELECT vec_id,

@@ -95,3 +95,38 @@ def test_resize_images_rewrites_dims_and_payload(media_df):
     assert len(rows[2]["payload"]) < len(
         {r["media_id"]: r for r in media_df.collect()}[2]["payload"]
     )
+
+
+def test_resize_images_honors_col_names_and_validates_dims(spark, media_df):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.multimodal import resize_images
+
+    renamed = media_df.select(
+        F.col("media_id").alias("media_id"), F.col("payload").alias("blob")
+    )
+    out = resize_images(renamed, 8, 8, payload_col="blob")
+    assert set(out.columns) == {"media_id", "blob", "width", "height"}
+    assert out.count() == media_df.count()
+
+    # uint16 header fields: reject out-of-range targets up front
+    with _pytest.raises(ValueError):
+        resize_images(media_df, 70000, 8)
+    with _pytest.raises(ValueError):
+        resize_images(media_df, 8, 0)
+
+
+def test_make_fake_media_closed_form_dims(spark):
+    from mapreducewordoccurences_spark.multimodal.media import (
+        decode_image_meta,
+        make_fake_media,
+    )
+
+    ids = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    meta = {r["media_id"]: r for r in decode_image_meta(make_fake_media(ids)).collect()}
+    for i in range(50):
+        r = meta[i]
+        assert (r["width"], r["height"], r["channels"], r["n_frames"]) == (
+            16 + i % 48, 16 + (i * 7) % 40, 1 + i % 3, 1 + i % 5,
+        )

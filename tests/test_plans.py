@@ -204,9 +204,15 @@ def test_q21_bounded_exchanges(spark):
 
 
 # the ONLY catalog entries allowed to put Python in the plan: the
-# explicit UDF/UDAF/UDTF extension surface and the pandas-backed
-# streaming/stateful demos
-PYTHON_ALLOWED = {"udf_vector_norms", "udaf_zscore_by_label", "udtf_sentence_stats"}
+# explicit UDF/UDAF/UDTF extension surface and the multimodal
+# encode/decode round-trips (Arrow-batched mapInPandas by design)
+PYTHON_ALLOWED = {
+    "udf_vector_norms",
+    "udaf_zscore_by_label",
+    "udtf_sentence_stats",
+    "media_image_dims",
+    "media_frame_sample",
+}
 
 
 def test_catalog_hot_paths_have_no_python(spark):
