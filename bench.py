@@ -43,6 +43,21 @@ HEADLINE = [
 ]
 
 
+def _default_driver_mem() -> str:
+    """min(16g, ~70% of MemAvailable) — a fixed 16g default would stop
+    the local-mode JVM from starting on smaller hosts. Override with
+    SPARK_GRAFT_DRIVER_MEM."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) * 0.7 / (1024 * 1024)
+                    return f"{max(2, min(16, int(avail_gb)))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -59,7 +74,9 @@ def main() -> int:
             # local-mode driver defaults to a 1g heap regardless of host
             # RAM; GC pauses then dominate the persist-heavy dedup ops
             # and add multi-second run-to-run variance
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()
+            ),
             # ~20 queries × whole-stage-codegen classes overflow the
             # default ~240m JIT code cache; once full, later queries run
             # interpreted (observed 3× slowdowns on the dedup ops)
@@ -74,8 +91,10 @@ def main() -> int:
     # BASELINE.md protocol: best of N warm runs — the first execution of
     # each plan shape pays whole-stage-codegen compilation (~1-3 s),
     # which a long-lived cluster pays once per plan, not per query run.
-    # Cold (first-run) times are reported alongside.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Cold (first-run) times are reported alongside. 7 runs (up from 3):
+    # per-query min must sit below the 16-26 s host-noise band so
+    # round-over-round deltas are attributable to plan changes.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:

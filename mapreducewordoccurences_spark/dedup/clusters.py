@@ -72,6 +72,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds (graph diameter exceeds the budget); raise "
+            f"max_iterations or use connected_components_two_phase "
+            f"(O(log² n) rounds on chain-shaped graphs)"
+        )
     return labels
 
 
@@ -147,11 +154,20 @@ def connected_components_two_phase(
             .localCheckpoint(eager=True)
         )
         # converged when the edge set is a stable star forest (edges
-        # unchanged by a full round)
-        if small.exceptAll(e).limit(1).count() == 0 and e.exceptAll(small).limit(1).count() == 0:
-            e = small
-            break
+        # unchanged by a full round) — one symmetric-difference job,
+        # not two separate exceptAll counts
+        converged = (
+            small.exceptAll(e).union(e.exceptAll(small)).limit(1).count() == 0
+        )
         e = small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in "
+            f"{max_iterations} rounds; labels would be inconsistent — "
+            f"raise max_iterations (star rounds converge in O(log² n))"
+        )
 
     # star forest → labels: every v in an edge (u, v) with u<v hangs
     # under u; roots label themselves

@@ -521,8 +521,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_shingle_df caps posting-list length (a shingle in d docs
+    contributes d² candidate pairs) — the scale-safe invocation. The
+    cap never binds on the testdata (max observed df: 25 at sf0.1) so
+    the unbounded DuckDB oracle still matches exactly; the uncapped
+    variant stays the verifier tier in tests."""
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8, max_shingle_df=1000
     )
 
 

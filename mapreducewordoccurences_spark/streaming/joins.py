@@ -27,13 +27,17 @@ def enrich_stream_with_dim(
     dim_df: DataFrame,
     on: str | Sequence[str],
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static join (stateless). ``how`` may be inner or left —
     right/full would need unbounded stream state and are rejected by
-    Spark. The dim side should be broadcast-sized; hint it so every
-    micro-batch skips the shuffle."""
+    Spark. With ``broadcast=True`` (default) the dim side is hinted so
+    every micro-batch skips the shuffle — right for broadcast-sized
+    dims; pass False for dims larger than executor memory to fall back
+    to a shuffled stream-static join instead of OOMing each batch."""
     keys = [on] if isinstance(on, str) else list(on)
-    return stream_df.join(F.broadcast(dim_df), on=keys, how=how)
+    dim = F.broadcast(dim_df) if broadcast else dim_df
+    return stream_df.join(dim, on=keys, how=how)
 
 
 def stream_stream_interval_join(
