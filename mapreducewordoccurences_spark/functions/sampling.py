@@ -1,0 +1,107 @@
+"""Deterministic sampling / splitting / shuffling for training-data
+pipelines.
+
+A 100 TB corpus can't be split with ``rand()``: re-runs must assign
+every document to the same split (reproducibility, incremental
+rebuilds, leakage audits). Everything here keys on **md5 of the id**
+— engine-portable (md5 is identical in Spark, DuckDB, Python, unlike
+Spark's internal murmur ``hash()``), uniform, and salt-able so
+different pipelines draw independent assignments.
+
+All expressions are JVM built-ins: splits/shuffles run at scan speed,
+stratified sampling costs one window shuffle on the stratum key.
+
+The reference has no sampling surface (SURVEY.md §2d); this module is
+part of the engine's training-pipeline extension alongside dedup/ and
+functions/text.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# bucket space: first 4 md5 hex chars → [0, 65536). Wide enough that
+# per-split rounding error is < 0.002%, small enough to stay in an int.
+_BUCKETS = 65536
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash_bucket(col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 65536): first 4 hex chars of
+    md5(salt || id). Portable — DuckDB mirror is
+    ``CAST(concat('0x', substr(md5(salt || CAST(id AS VARCHAR)), 1, 4)) AS INT)``."""
+    key = F.concat(F.lit(salt), _c(col).cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int")
+
+
+def split_thresholds(weights: Sequence[tuple[str, float]]) -> list[tuple[str, int]]:
+    """Cumulative integer thresholds over the bucket space, e.g.
+    [(train, .9), (val, .05), (test, .05)] → [(train, 58982),
+    (val, 62259), (test, 65536)]. Integer edges make the Spark and
+    oracle predicates textually identical."""
+    total = sum(w for _, w in weights)
+    out, cum = [], 0.0
+    for name, w in weights:
+        cum += w / total
+        out.append((name, min(_BUCKETS, int(cum * _BUCKETS))))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label. Pure projection —
+    no shuffle, no state; the same row lands in the same split on every
+    engine and every run."""
+    bucket = hash_bucket(id_col, salt)
+    expr = None
+    for name, edge in split_thresholds(list(weights)):
+        expr = (
+            F.when(bucket < edge, F.lit(name))
+            if expr is None
+            else expr.when(bucket < edge, F.lit(name))
+        )
+    return df.withColumn(split_col, expr.otherwise(F.lit(weights[-1][0])))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep ceil(fraction × stratum size) rows per stratum —
+    deterministic (md5 order, id tiebreak), never empties a non-empty
+    stratum, preserves stratum proportions exactly.
+
+    One shuffle on the stratum key; the rank filter becomes a
+    WindowGroupLimit-style running filter, not a full sort of the
+    corpus."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.lit(salt), _c(id_col).cast("string"))), _c(id_col)
+    )
+    wn = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .where(F.col("__rn") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .drop("__rn", "__n")
+    )
+
+
+def deterministic_shuffle_key(col: Column | str, salt: str = "") -> Column:
+    """Sort key for reproducible corpus shuffling (training-shard
+    order): md5 of the id. Unique ids ⇒ a total order; write shards
+    with ``df.orderBy(key).write...`` or ``repartitionByRange``."""
+    return F.md5(F.concat(F.lit(salt), _c(col).cast("string")))

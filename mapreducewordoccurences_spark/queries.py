@@ -620,6 +620,168 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split_counts",
+    # md5-hex bucket (engine-portable) → cumulative integer thresholds
+    # over 65536: train <58982, val <62259, test otherwise. Same-row →
+    # same-split on every engine and every run (functions/sampling.py).
+    """
+    WITH b AS (
+      SELECT lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 58982 THEN 'train'
+                WHEN bucket < 62259 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split — reproducible across
+    runs and engines (no rand()), pure projection before the count."""
+    from mapreducewordoccurences_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang FROM t WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample per language: preserves
+    stratum proportions exactly, never empties a non-empty stratum."""
+    from mapreducewordoccurences_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", 0.1)
+
+
+@register(
+    "shuffled_shard_head",
+    """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents ORDER BY shuffle_key LIMIT 100
+    """,
+)
+def q_shuffled_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffling for training shards: total order
+    by md5(id). Top-100 compiles to TakeOrderedAndProject — no global
+    sort materialization."""
+    from mapreducewordoccurences_spark.functions.sampling import (
+        deterministic_shuffle_key,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.select("doc_id", deterministic_shuffle_key("doc_id").alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
+
+
+@register(
+    "dedup_survivors_best_quality",
+    # survivorship policy: keep the HIGHEST-QUALITY doc per exact-dup
+    # group (not min-id) — ties broken by min doc_id. quality is the
+    # same closed-form heuristic the quality_score query oracles.
+    """
+    WITH q AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+             (CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                          / NULLIF(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0)
+                          BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+              + COALESCE(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                          / NULLIF(length(text), 0), 0.0) * 0.25
+              + LEAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                  ['the','and','of','to','is','in','that','it','for','with'])) / 10.0 * 2, 1.0) * 0.25
+             ) AS quality
+      FROM documents
+    ), r AS (
+      SELECT fingerprint, doc_id, quality,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS dup_cnt,
+             max(quality) OVER (PARTITION BY fingerprint) AS best_q
+      FROM q
+    )
+    SELECT fingerprint, doc_id AS survivor_id,
+           ROUND(best_q, 6) AS best_quality, dup_cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: one shuffle on the md5
+    fingerprint, max_by picks (quality DESC, doc_id ASC) per group."""
+    from mapreducewordoccurences_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    return (
+        fp.join(scored, "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg"))
+            ).alias("survivor_id"),
+            F.round(F.max("quality"), 6).alias("best_quality"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+@register(
+    "bigram_counts",
+    """
+    SELECT bigram, count(*) AS cnt FROM (
+      SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS bigram
+      FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS s FROM documents)
+    ) GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM counts (wordcount generalized to order-2): top-20
+    bigrams. zip_with over adjacent token slices — one scan, one
+    shuffle, TakeOrderedAndProject for the top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("t")
+    )
+    n = F.size("t")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.slice("t", 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@register(
     "media_image_dims",
     # the Spark side round-trips encode (mapInPandas) -> binary payload
     # -> decode (mapInPandas) -> dims histogram; the oracle predicts

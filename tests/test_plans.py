@@ -97,6 +97,21 @@ def test_dedup_exact_single_shuffle(spark):
     assert count_exchanges(q(spark, "dedup_exact")) == 1
 
 
+def test_split_and_sample_plan_shapes(spark):
+    # hash_split + count: split assignment is a pure projection; the
+    # only exchange is the final groupBy
+    assert count_exchanges(q(spark, "dataset_split_counts")) == 1
+    assert not has_python_eval(q(spark, "dataset_split_counts"))
+    # stratified sample: ONE shuffle on the stratum key (both windows
+    # share the lang partitioning)
+    assert count_exchanges(q(spark, "stratified_sample_by_lang")) == 1
+    # deterministic shuffle head: top-k, never a global sort
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    assert "TakeOrderedAndProject" in formatted_plan(q(spark, "shuffled_shard_head"))
+    assert "TakeOrderedAndProject" in formatted_plan(q(spark, "bigram_counts"))
+
+
 def test_ivf_probe_prunes_partitions(spark, tmp_path):
     from pyspark.sql import functions as F
 
