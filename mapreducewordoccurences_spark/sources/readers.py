@@ -63,3 +63,9 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built-in, vectorized): same pushdown/pruning
+    guarantees as parquet — PushedFilters reach the ORC scan."""
+    return spark.read.orc(path)

@@ -105,3 +105,26 @@ def test_bucketed_tables_join_without_exchange(spark, tmpd):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmpd):
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+    from mapreducewordoccurences_spark.sources.readers import read_orc
+    from mapreducewordoccurences_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i % 3) for i in range(100)], "id bigint, s string, k int"
+    )
+    path = os.path.join(tmpd, "o")
+    write_orc(df, path, partition_by=["k"])
+    back = read_orc(spark, path).where(F.col("id") < 10).select("id", "s")
+    # ORC scan gets the same pushdown/pruning contract as parquet
+    plan = formatted_plan(back)
+    assert "PushedFilters" in plan and "id" in plan
+    assert back.count() == 10
+    # partition pruning on the partition column
+    pruned = read_orc(spark, path).where(F.col("k") == 1)
+    assert "PartitionFilters" in formatted_plan(pruned)
+    assert pruned.count() == sum(1 for i in range(100) if i % 3 == 1)
