@@ -2700,6 +2700,127 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_acctbal_supplier_per_part",
+    # TPC-H Q2 shape (correlated MIN subquery → argmin per group). The
+    # testdata has no partsupp, so part↔supplier comes from distinct
+    # lineitem (l_partkey, l_suppkey) and the minimized measure is
+    # s_acctbal; the plan pattern — per-group min joined back to select
+    # the matching row — is Q2's.
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), x AS (
+      SELECT l_partkey, s_suppkey, s_name, s_acctbal
+      FROM ps JOIN supplier ON l_suppkey = s_suppkey
+    ), m AS (
+      SELECT l_partkey, min(s_acctbal) AS min_bal FROM x GROUP BY l_partkey
+    )
+    SELECT x.l_partkey AS p_partkey, p_name,
+           min(s_suppkey) AS s_suppkey, min_bal AS s_acctbal
+    FROM x JOIN m ON x.l_partkey = m.l_partkey AND x.s_acctbal = m.min_bal
+    JOIN part ON x.l_partkey = p_partkey
+    WHERE p_size <= 10
+    GROUP BY 1, 2, 4
+    """,
+)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-acctbal supplier for each small
+    part. The correlated subquery decorrelates to one agg + self-join
+    sharing the l_partkey exchange; min(s_suppkey) makes acctbal ties
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    x = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    m = x.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        x.join(m, "l_partkey")
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(part), x.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("p_partkey"), "p_name", F.col("min_bal").alias("s_acctbal")
+        )
+        .agg(F.min("s_suppkey").alias("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_acctbal")
+    )
+
+
+@register(
+    "q4_priority_orders_with_returns",
+    # TPC-H Q4 shape (EXISTS over lineitem per order → priority
+    # histogram). No l_commitdate/l_receiptdate in the testdata; the
+    # EXISTS predicate is a returned line instead — the semi-join +
+    # agg plan is Q4's.
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of 1994 orders having at
+    least one returned line. EXISTS compiles to a left-semi hash join —
+    lineitem is pre-filtered and projected to the join key before the
+    shuffle."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    # TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS anti-join.
+    # Grouping is by nation (no phone column for country codes).
+    """
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    orders, summarized per nation. The scalar avg broadcasts (1 row);
+    NOT EXISTS is a left-anti join on o_custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "listagg_nations_per_region",
     """
     SELECT r_name,
