@@ -34,7 +34,9 @@ def test_zscore_by_group_matches_numpy(spark):
     out = zscore_by_group(emb).collect()
     pdf = emb.select("vec_id", "label", "embedding").toPandas()
     for label in {r["label"] for r in out}:
-        mat = np.stack(pdf[pdf.label == label].embedding.to_numpy())
+        # float64 like the UDF (float32 accumulation would drift ~1e-7,
+        # past the oracle's round-4 tolerance — see zscore_by_group)
+        mat = np.stack(pdf[pdf.label == label].embedding.to_numpy()).astype(np.float64)
         mean, std = mat.mean(axis=0), mat.std(axis=0)
         std[std == 0] = 1.0
         ids = pdf[pdf.label == label].vec_id.to_numpy()
