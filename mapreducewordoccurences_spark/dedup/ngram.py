@@ -96,8 +96,18 @@ def ngram_jaccard_pairs(
     if persist:
         sh = sh.persist()
     if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
-        sh = sh.join(keep.select("shingle"), on="shingle", how="left_semi")
+        # drop HOT shingles (df > cap) via broadcast anti-join: the hot
+        # list is small by construction (heavy hitters only), so the
+        # filter is map-side — one aggregation shuffle, not a second
+        # full shuffle of the posting table (a keep-list semi-join
+        # would re-shuffle every row)
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
