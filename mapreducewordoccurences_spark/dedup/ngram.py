@@ -108,6 +108,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+        # persist the FILTERED table as well: the anti-join subtree has
+        # three consumers (sizes + both self-join sides) and Catalyst
+        # does not reuse the broadcast exchange across them — without
+        # this cache the hot-list aggregation runs three times
+        if persist:
+            sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
