@@ -116,7 +116,6 @@ def minhash_lsh_pairs(
 
     banded = sigs.select(
         F.col(id_col),
-        F.col("signature"),
         F.posexplode(
             # xxhash64 hashes the bigint slice directly — no string
             # round-trip; a 64-bit bucket id keeps false band
@@ -129,16 +128,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("signature").alias("__sig_a"), "band", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("signature").alias("__sig_b"), "band", "band_hash"
-    )
+    # The self-join shuffles ids only — carrying the num_perm-long
+    # signature through the banding explode would multiply the exchange
+    # by bands × (8·num_perm) bytes per doc (~60× at the defaults).
+    # Signatures re-join from the persisted table after candidate
+    # dedup, when the row set is already collision-pruned.
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
     cand = (
         a.join(b, on=["band", "band_hash"], how="inner")
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = cand.join(
+        sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("__sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("__sig_b")),
+        "doc_b",
     )
     est = (
         F.size(
