@@ -26,6 +26,11 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.shuffle.partitions": "32",
+    # Push MIN/MAX/COUNT aggregates down to parquet/ORC footer statistics
+    # when no filter intervenes: a full-table count/min/max becomes a
+    # metadata-only scan instead of a 100 TB read.
+    "spark.sql.parquet.aggregatePushDown": "true",
+    "spark.sql.orc.aggregatePushDown": "true",
 }
 
 
