@@ -39,6 +39,41 @@ def exact_dup_groups(
     )
 
 
+def incremental_new_unique(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Incremental-ingest dedup: (id, fingerprint) of new-batch rows
+    that are first-in-batch AND absent from the existing corpus.
+
+    The shape every growing corpus needs — dedup the daily crawl
+    against years of history without re-deduping the history. Within
+    the batch, min-id wins (same rule as exact_dup_groups); across,
+    an anti-join on the 128-bit fingerprint drops anything seen
+    before.
+
+    Scale: the corpus side is the big one, so this is a shuffle hash
+    join keyed by the uniform md5 — linear, skew-free. In production
+    keep the corpus fingerprints as a table bucketed by fingerprint
+    (sources/sinks.py write_bucketed): the nightly anti-join then
+    shuffles only the new batch.
+    """
+    new_fp = new_df.select(
+        doc_fingerprint(text_col, normalize=normalize).alias("fingerprint"),
+        F.col(id_col),
+    )
+    batch_keep = new_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    corpus_fp = corpus_df.select(
+        doc_fingerprint(text_col, normalize=normalize).alias("fingerprint")
+    ).distinct()
+    return batch_keep.join(corpus_fp, on="fingerprint", how="left_anti").select(
+        F.col(id_col), "fingerprint"
+    )
+
+
 def drop_exact_dups(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -100,6 +100,40 @@ def stratified_sample(
     )
 
 
+def source_mix_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixing rebalance table: per source, its document/token
+    counts, its share of corpus tokens, and the sampling weight that
+    would equalize token share across sources (weight > 1 ⇒ upsample,
+    < 1 ⇒ downsample). The small output joins back onto the corpus to
+    drive weighted sampling — the standard mixture-control step before
+    training (The Pile, Llama data recipes).
+
+    Plan: one aggregation shuffle keyed by source (token counts
+    combine map-side), then the one-row total broadcasts back over
+    the per-source rows — the corpus itself is scanned once and never
+    re-shuffled."""
+    from mapreducewordoccurences_spark.functions.text import token_count
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__t"), F.count(F.lit(1)).alias("__ns")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("__t")).alias("token_share"),
+        ((F.col("__t") / F.col("__ns")) / F.col("n_tokens")).alias("mix_weight"),
+    )
+
+
 def deterministic_shuffle_key(col: Column | str, salt: str = "") -> Column:
     """Sort key for reproducible corpus shuffling (training-shard
     order): md5 of the id. Unique ids ⇒ a total order; write shards

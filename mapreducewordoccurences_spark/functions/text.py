@@ -153,6 +153,65 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_token_max: float = 0.2,
+    dup_2gram_max: float = 0.4,
+    dup_3gram_max: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): flag
+    documents dominated by a single token or by repeated n-grams —
+    boilerplate, keyword stuffing, and degenerate generations all trip
+    these before any model-based scorer runs.
+
+    Emits per doc (≥1 token): top_token_frac (share of the most
+    frequent token), dup_2gram_frac / dup_3gram_frac (fraction of
+    n-gram slots occupied by repeats), and an int ``flagged``.
+
+    Plan: the n-gram fractions are pure array projections (map-only);
+    the top-token share needs true per-(doc, token) counts, so it
+    aggregates the exploded tokens — partial map-side combine, then
+    two shuffles keyed (doc, token) → (doc). Linear in corpus size,
+    no skew (doc_id keys are unique)."""
+    # lazy import: ngram.py imports tokens() from this module
+    from mapreducewordoccurences_spark.dedup.ngram import shingle_array
+
+    base = df.select(F.col(id_col), tokens(text_col, lowercase=True).alias("__toks"))
+    n_tok = F.size("__toks")
+
+    def dup_frac(n: int) -> Column:
+        total = n_tok - (n - 1)
+        distinct = F.size(shingle_array("__toks", n))
+        return F.when(n_tok >= n, (total - distinct) / total).otherwise(F.lit(0.0))
+
+    grams = base.select(
+        F.col(id_col),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("__toks").alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg((F.max("__c") / F.sum("__c")).alias("top_token_frac"))
+    )
+    flagged = (
+        (F.col("top_token_frac") > top_token_max)
+        | (F.col("dup_2gram_frac") > dup_2gram_max)
+        | (F.col("dup_3gram_frac") > dup_3gram_max)
+    )
+    return top.join(grams, on=id_col).select(
+        F.col(id_col),
+        "top_token_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        flagged.cast("int").alias("flagged"),
+    )
+
+
 def doc_fingerprint(text: Column | str, normalize: bool = True) -> Column:
     """Deterministic 128-bit content fingerprint (hex) for exact-dup
     detection: md5 over whitespace-collapsed, lowercased text.

@@ -3032,3 +3032,146 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline additions (round 2): decontamination, repetition
+# filters, incremental dedup, source mixing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+             )) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+            FROM documents)
+      WHERE len(s) >= 3
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+    ), train AS (
+      SELECT * FROM sh WHERE doc_id % 17 <> 0
+    )
+    SELECT t.doc_id,
+           count(*) AS n_shingles,
+           count(b.shingle) AS n_shared,
+           count(b.shingle) / count(*) AS overlap_ratio
+    FROM train t LEFT JOIN bench b USING (shingle)
+    GROUP BY t.doc_id
+    HAVING count(b.shingle) > 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 17 = 0 stand in
+    for the eval suite; every other doc is scored for 3-gram overlap
+    against it. Benchmark shingles broadcast — the training side is
+    scanned once and shuffled once (dedup/decontam.py)."""
+    from mapreducewordoccurences_spark.dedup.decontam import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return ngram_overlap(train, bench, n=3)
+
+
+@register(
+    "repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(s) >= 2
+                  THEN (len(s) - 1 - len(list_distinct(
+                         [s[i] || ' ' || s[i+1] for i in range(1, len(s))])))
+                       / (len(s) - 1)
+                  ELSE CAST(0 AS DOUBLE) END AS dup_2gram_frac,
+             CASE WHEN len(s) >= 3
+                  THEN (len(s) - 2 - len(list_distinct(
+                         [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)])))
+                       / (len(s) - 2)
+                  ELSE CAST(0 AS DOUBLE) END AS dup_3gram_frac
+      FROM toks
+    ), t AS (
+      SELECT doc_id, unnest(s) AS token FROM toks
+    ), tc AS (
+      SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, max(c) / CAST(sum(c) AS BIGINT) AS top_token_frac
+      FROM tc GROUP BY doc_id
+    )
+    SELECT g.doc_id, top_token_frac, dup_2gram_frac, dup_3gram_frac,
+           CAST(CASE WHEN top_token_frac > 0.2
+                       OR dup_2gram_frac > 0.4
+                       OR dup_3gram_frac > 0.3
+                     THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM top JOIN grams g USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters
+    (functions/text.py repetition_stats)."""
+    from mapreducewordoccurences_spark.functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ), newb AS (
+      SELECT fingerprint, min(doc_id) AS doc_id
+      FROM fp WHERE doc_id % 4 = 0 GROUP BY fingerprint
+    ), corpus AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 <> 0
+    )
+    SELECT n.doc_id, n.fingerprint
+    FROM newb n LEFT JOIN corpus c USING (fingerprint)
+    WHERE c.fingerprint IS NULL
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: docs with doc_id % 4 = 0 play the
+    new batch, the rest the existing corpus; survivors are
+    first-in-batch and unseen (dedup/exact.py incremental_new_unique)."""
+    from mapreducewordoccurences_spark.dedup.exact import incremental_new_unique
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_new_unique(
+        docs.where(F.col("doc_id") % 4 == 0),
+        docs.where(F.col("doc_id") % 4 != 0),
+    )
+
+
+@register(
+    "source_mix_weights",
+    """
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS ns FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           n_tokens / t AS token_share,
+           (t / ns) / n_tokens AS mix_weight
+    FROM per, tot
+    """,
+)
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares and uniform-mixture sampling weights
+    (functions/sampling.py source_mix_weights)."""
+    from mapreducewordoccurences_spark.functions.sampling import source_mix_weights
+
+    return source_mix_weights(_t(spark, sf_dir, "documents"))

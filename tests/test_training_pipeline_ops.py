@@ -1,0 +1,125 @@
+"""Semantic tests for the round-2 training-pipeline operators:
+decontamination, repetition filters, incremental dedup, source mixing.
+
+Oracle parity (test_oracle_parity.py) already locks cross-engine
+value equality for the catalog forms; these tests pin the operator
+SEMANTICS on constructed inputs where the right answer is known by
+hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.dedup.decontam import (
+    drop_contaminated,
+    ngram_overlap,
+)
+from mapreducewordoccurences_spark.dedup.exact import incremental_new_unique
+from mapreducewordoccurences_spark.functions.sampling import source_mix_weights
+from mapreducewordoccurences_spark.functions.text import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestNgramOverlap:
+    def test_planted_contamination_found(self, spark):
+        bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+        train = _docs(
+            spark,
+            [
+                # contains "quick brown fox" + "brown fox jumps" → 2 shared
+                (1, "a quick brown fox jumps today"),
+                (2, "entirely different words only here"),
+            ],
+        )
+        got = {r["doc_id"]: r for r in ngram_overlap(train, bench, n=3).collect()}
+        assert set(got) == {1}
+        assert got[1]["n_shared"] == 2
+        # "a quick brown", "quick brown fox", "brown fox jumps", "fox jumps today"
+        assert got[1]["n_shingles"] == 4
+        assert got[1]["overlap_ratio"] == pytest.approx(0.5)
+
+    def test_drop_contaminated_removes_only_dirty(self, spark):
+        bench = _docs(spark, [(100, "alpha beta gamma delta")])
+        train = _docs(
+            spark,
+            [(1, "alpha beta gamma epsilon"), (2, "zeta eta theta iota kappa")],
+        )
+        kept = drop_contaminated(train, bench, n=3)
+        assert [r["doc_id"] for r in kept.collect()] == [2]
+
+    def test_short_docs_have_no_shingles(self, spark):
+        bench = _docs(spark, [(100, "alpha beta gamma")])
+        train = _docs(spark, [(1, "alpha beta")])  # < n tokens
+        assert ngram_overlap(train, bench, n=3).count() == 0
+
+
+class TestRepetitionStats:
+    def test_degenerate_doc_flagged_clean_doc_not(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "spam spam spam spam spam spam"),
+                (2, "one two three four five six seven eight nine ten"),
+            ],
+        )
+        got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert got[1]["top_token_frac"] == pytest.approx(1.0)
+        assert got[1]["dup_2gram_frac"] == pytest.approx(4 / 5)
+        assert got[1]["dup_3gram_frac"] == pytest.approx(3 / 4)
+        assert got[1]["flagged"] == 1
+        assert got[2]["top_token_frac"] == pytest.approx(0.1)
+        assert got[2]["dup_2gram_frac"] == 0.0
+        assert got[2]["flagged"] == 0
+
+    def test_single_token_doc(self, spark):
+        got = repetition_stats(_docs(spark, [(1, "word")])).collect()[0]
+        assert got["top_token_frac"] == pytest.approx(1.0)
+        # no 2-gram slots → defined as 0, not NaN/null
+        assert got["dup_2gram_frac"] == 0.0
+        assert got["dup_3gram_frac"] == 0.0
+
+
+class TestIncrementalDedup:
+    def test_batch_and_corpus_rules(self, spark):
+        corpus = _docs(spark, [(1, "seen before"), (2, "old news")])
+        new = _docs(
+            spark,
+            [
+                (10, "seen before"),          # dup of corpus → dropped
+                (11, "fresh content"),        # unique → kept
+                (12, "fresh content"),        # in-batch dup of 11 → dropped
+                (13, "Seen   BEFORE "),       # normalized dup of corpus → dropped
+            ],
+        )
+        kept = incremental_new_unique(new, corpus)
+        assert [r["doc_id"] for r in kept.collect()] == [11]
+
+    def test_empty_corpus_keeps_batch_uniques(self, spark):
+        corpus = _docs(spark, []).where(F.lit(False))
+        new = _docs(spark, [(1, "a b"), (2, "a b"), (3, "c d")])
+        kept = incremental_new_unique(new, corpus)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+class TestSourceMixWeights:
+    def test_uniform_target_weights(self, spark):
+        df = _docs(spark, [(1, "a b c d e f"), (2, "a b"), (3, "a")]).withColumn(
+            "source",
+            F.when(F.col("doc_id") == 1, "big").otherwise("small"),
+        )
+        got = {r["source"]: r for r in source_mix_weights(df).collect()}
+        # big: 6 tokens, small: 3 tokens, total 9, target 4.5 each
+        assert got["big"]["n_docs"] == 1 and got["big"]["n_tokens"] == 6
+        assert got["small"]["n_docs"] == 2 and got["small"]["n_tokens"] == 3
+        assert got["big"]["token_share"] == pytest.approx(6 / 9)
+        assert got["big"]["mix_weight"] == pytest.approx(4.5 / 6)
+        assert got["small"]["mix_weight"] == pytest.approx(4.5 / 3)
+        # weighted token mass is equal across sources after reweighting
+        assert got["big"]["mix_weight"] * 6 == pytest.approx(
+            got["small"]["mix_weight"] * 3
+        )
