@@ -113,24 +113,27 @@ def source_mix_weights(
     training (The Pile, Llama data recipes).
 
     Plan: one aggregation shuffle keyed by source (token counts
-    combine map-side), then the one-row total broadcasts back over
-    the per-source rows — the corpus itself is scanned once and never
-    re-shuffled."""
+    combine map-side), then a GLOBAL window over the per-source rows
+    computes the totals — the corpus is scanned once. The
+    unpartitioned window is safe here: its input is one row per
+    source (dozens), not corpus rows. (The prettier crossJoin against
+    a total-aggregate branch is a trap: Catalyst does not reuse the
+    shared agg subtree and re-scans the corpus for the total.)"""
     from mapreducewordoccurences_spark.functions.text import token_count
 
     per = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(text_col)).alias("n_tokens"),
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("__t"), F.count(F.lit(1)).alias("__ns")
-    )
-    return per.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy()
+    t = F.sum("n_tokens").over(w)
+    ns = F.count(F.lit(1)).over(w)
+    return per.select(
         F.col(source_col),
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") / F.col("__t")).alias("token_share"),
-        ((F.col("__t") / F.col("__ns")) / F.col("n_tokens")).alias("mix_weight"),
+        (F.col("n_tokens") / t).alias("token_share"),
+        ((t / ns) / F.col("n_tokens")).alias("mix_weight"),
     )
 
 

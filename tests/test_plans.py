@@ -218,6 +218,40 @@ def test_q21_bounded_exchanges(spark):
     assert not has_python_eval(df)
 
 
+def test_decontaminate_broadcasts_bench_single_corpus_shuffle(spark):
+    from mapreducewordoccurences_spark.plans.explain import count_scans
+
+    df = q(spark, "decontaminate_ngram_overlap")
+    # benchmark shingle set broadcast; the training corpus is scanned
+    # ONCE and shuffled ONCE (the per-doc aggregate) — the shape that
+    # survives a 100 TB corpus with a fixed-size eval suite
+    assert has_broadcast_join(df)
+    assert count_scans(df) == 2  # bench side + train side
+    # exchanges: bench distinct agg + final doc_id agg (broadcast
+    # exchanges are not hash shuffles)
+    assert count_exchanges(df) <= 2
+    assert not has_python_eval(df)
+
+
+def test_incremental_dedup_no_full_row_shuffle(spark):
+    # only (fingerprint, id) pairs move: scans prune to doc_id + text
+    df = q(spark, "dedup_incremental_batch")
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+    assert not has_python_eval(df)
+
+
+def test_source_mix_weights_single_agg_shuffle(spark):
+    # per-source agg is the only hash exchange; the one-row total
+    # broadcasts back (no second corpus pass — one scan)
+    from mapreducewordoccurences_spark.plans.explain import count_scans
+
+    df = q(spark, "source_mix_weights")
+    assert count_scans(df) == 1
+    assert count_exchanges(df) <= 2
+    assert not has_python_eval(df)
+
+
 # the ONLY catalog entries allowed to put Python in the plan: the
 # explicit UDF/UDAF/UDTF extension surface and the multimodal
 # encode/decode round-trips (Arrow-batched mapInPandas by design)
