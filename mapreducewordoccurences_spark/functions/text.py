@@ -212,6 +212,46 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Split documents into fixed-length token windows — the
+    sequence-prep step between cleaning and packing: long documents
+    become ≤chunk_tokens pieces; ``stride < chunk_tokens`` yields
+    overlapping windows (sliding context for retrieval indexing).
+
+    Emits (id, chunk_id, n_chunk_tokens, chunk_text); docs with zero
+    tokens produce no chunks. chunk_id is 0-based in document order,
+    deterministic.
+
+    Plan: tokenize → window starts via ``sequence(1, n, stride)`` →
+    posexplode of per-start slices. Map-only (one Generate, no
+    shuffle); output rows ≈ input tokens / stride, so the operator
+    streams at scan speed at any corpus size."""
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    base = df.select(
+        F.col(id_col), tokens(text_col, lowercase=lowercase).alias("__toks")
+    ).where(F.size("__toks") >= 1)
+    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(F.col("__toks"), s, chunk_tokens))
+    return base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("__chunk").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+    )
+
+
 def doc_fingerprint(text: Column | str, normalize: bool = True) -> Column:
     """Deterministic 128-bit content fingerprint (hex) for exact-dup
     detection: md5 over whitespace-collapsed, lowercased text.

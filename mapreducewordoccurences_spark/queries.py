@@ -3175,3 +3175,60 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.functions.sampling import source_mix_weights
 
     return source_mix_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "chunk_documents_sliding",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.cid AS INT) AS chunk_id,
+           CAST(len(u.c) AS INT) AS n_chunk_tokens,
+           array_to_string(u.c, ' ') AS chunk_text
+    FROM (
+      SELECT doc_id,
+             unnest([{'cid': (i - 1) // 16, 'c': s[i:i+31]}
+                     for i in range(1, len(s) + 1, 16)]) AS u
+      FROM toks WHERE len(s) >= 1
+    )
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 32-token chunks, stride 16 (50%
+    overlap) — retrieval-index prep. Map-only plan
+    (functions/text.py chunk_documents)."""
+    from mapreducewordoccurences_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=16
+    )
+
+
+@register(
+    "embedding_filtered_topk",
+    """
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label = 1
+      WHERE q.vec_id < 10)
+    WHERE rnk <= 5
+    """,
+)
+def q_embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: the corpus predicate
+    (label = 1) applies BEFORE scoring and pushes down to the scan —
+    top-k is over the filtered candidate set, the standard
+    filtered-ANN semantics vector stores expose."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn(
+        emb.where(F.col("label") == 1), emb.where(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id", "rnk")

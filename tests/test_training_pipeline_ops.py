@@ -106,6 +106,45 @@ class TestIncrementalDedup:
         assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
 
 
+class TestChunkDocuments:
+    def test_non_overlapping_exact_cover(self, spark):
+        from mapreducewordoccurences_spark.functions.text import chunk_documents
+
+        df = _docs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6")])  # 7 tokens
+        got = chunk_documents(df, chunk_tokens=3, stride=3).collect()
+        rows = sorted((r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"]) for r in got)
+        assert rows == [
+            (0, 3, "t0 t1 t2"),
+            (1, 3, "t3 t4 t5"),
+            (2, 1, "t6"),  # ragged tail kept
+        ]
+
+    def test_sliding_overlap(self, spark):
+        from mapreducewordoccurences_spark.functions.text import chunk_documents
+
+        df = _docs(spark, [(1, "a b c d e")])
+        got = sorted(
+            (r["chunk_id"], r["chunk_text"])
+            for r in chunk_documents(df, chunk_tokens=4, stride=2).collect()
+        )
+        assert got == [(0, "a b c d"), (1, "c d e"), (2, "e")]
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        from mapreducewordoccurences_spark.functions.text import chunk_documents
+
+        df = _docs(spark, [(1, "...!!!")])  # tokenizes to nothing
+        assert chunk_documents(df).count() == 0
+
+    def test_invalid_params_raise(self, spark):
+        from mapreducewordoccurences_spark.functions.text import chunk_documents
+
+        df = _docs(spark, [(1, "a b")])
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, stride=-1)
+
+
 class TestSourceMixWeights:
     def test_uniform_target_weights(self, spark):
         df = _docs(spark, [(1, "a b c d e f"), (2, "a b"), (3, "a")]).withColumn(
