@@ -3232,3 +3232,118 @@ def q_embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_knn(
         emb.where(F.col("label") == 1), emb.where(F.col("vec_id") < 10), k=5
     ).select("query_id", "neighbor_id", "rnk")
+
+
+@register(
+    "bm25_topk_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), stats AS (
+      SELECT avg(len(t)) AS avgdl, count(*) AS n_docs FROM toks
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl, w AS word, count(*) AS tf
+      FROM (SELECT doc_id, t, unnest(t) AS w FROM toks)
+      WHERE w IN ('spark', 'window', 'join', 'stream')
+      GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), scores AS (
+      SELECT doc_id,
+             SUM( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) ) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN stats s
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(ROUND(score, 4) AS DOUBLE) AS score,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rnk
+          FROM scores)
+    WHERE rnk <= 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 4-term query (k1=1.2, b=0.75, Lucene
+    idf). Rank ties break on the ROUNDED score then doc_id so both
+    engines order identically. Only query-term hits are ever shuffled
+    (functions/ranking.py bm25_scores)."""
+    from mapreducewordoccurences_spark.functions.ranking import bm25_scores
+
+    scored = bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "window", "join", "stream"]
+    ).select("doc_id", F.round("score", 4).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 20)
+    )
+
+
+@register(
+    "unigram_logprob_scores",
+    """
+    WITH tf AS (
+      SELECT doc_id, w AS word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ), vocab AS (
+      SELECT word, SUM(tf) AS cw FROM tf GROUP BY word
+    ), tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS total FROM vocab)
+    SELECT doc_id,
+           CAST(ROUND(-SUM(tf.tf * ln(vocab.cw / tot.total)) / SUM(tf.tf), 4)
+                AS DOUBLE) AS mean_nll,
+           SUM(tf.tf) AS n_tokens
+    FROM tf JOIN vocab USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-prob per doc under the corpus unigram model —
+    cheap fluency/quality signal. Vocab model is a broadcast
+    distinct-word aggregate (functions/ranking.py unigram_logprob)."""
+    from mapreducewordoccurences_spark.functions.ranking import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("mean_nll", 4).alias("mean_nll"), "n_tokens"
+    )
+
+
+@register(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), pairs AS (
+      SELECT t[i] AS word_a, t[i+1] AS word_b
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+    ), big AS (
+      SELECT word_a, word_b, count(*) AS pair_count
+      FROM pairs GROUP BY 1, 2 HAVING count(*) >= 25
+    ), uni AS (
+      SELECT w AS word, count(*) AS cw
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+    ), tu AS (SELECT CAST(SUM(cw) AS DOUBLE) AS tu FROM uni),
+       tb AS (SELECT CAST(count(*) AS DOUBLE) AS tb FROM pairs)
+    SELECT word_a, word_b, pair_count,
+           CAST(ROUND(ln((pair_count / tb.tb)
+                         / ((ua.cw / tu.tu) * (ub.cw / tu.tu))), 4)
+                AS DOUBLE) AS pmi
+    FROM big
+    JOIN uni ua ON ua.word = big.word_a
+    JOIN uni ub ON ub.word = big.word_b
+    CROSS JOIN tu CROSS JOIN tb
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair PMI collocation mining (min pair count 25) —
+    phrase/tokenizer-vocab induction. Bigram counts shuffle once;
+    unigram model broadcasts (functions/ranking.py pmi_collocations)."""
+    from mapreducewordoccurences_spark.functions.ranking import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=25
+    ).select("word_a", "word_b", "pair_count", F.round("pmi", 4).alias("pmi"))
