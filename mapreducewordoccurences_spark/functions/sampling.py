@@ -142,3 +142,49 @@ def deterministic_shuffle_key(col: Column | str, salt: str = "") -> Column:
     order): md5 of the id. Unique ids ⇒ a total order; write shards
     with ``df.orderBy(key).write...`` or ``repartitionByRange``."""
     return F.md5(F.concat(F.lit(salt), _c(col).cast("string")))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    priority: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Per-group curriculum cut: keep the highest-priority documents
+    of each group until the group's cumulative token count reaches
+    ``budget_tokens`` (inclusive: the doc that lands exactly on the
+    budget stays; the first doc that would exceed it is dropped).
+    This is the token-budget step of a data recipe — "at most B
+    tokens per source, best documents first".
+
+    ``priority`` defaults to (n_tokens DESC, id ASC): longest docs
+    first, id as the deterministic tiebreak. Output adds
+    ``n_tokens`` (per-doc) and ``cum_tokens`` (running total in
+    priority order).
+
+    Plan: one window shuffle keyed by group. Groups are few (data
+    sources), so each group's rows land on ONE reducer — fine up to
+    ~10⁸ docs/group. Past that, replace the exact prefix-sum with a
+    two-phase cutoff: aggregate a per-group histogram of the priority
+    key (doubles as the skew diagnostic), pick the key threshold whose
+    prefix mass ≈ budget, and map-side filter — the window then runs
+    only on the boundary key's docs to settle ties exactly.
+    """
+    from mapreducewordoccurences_spark.functions.text import token_count
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if priority is None:
+        priority = [F.col("n_tokens").desc(), F.col(id_col).asc()]
+    with_tok = df.withColumn("n_tokens", token_count(text_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*priority)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -3347,3 +3347,30 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(
         _t(spark, sf_dir, "documents"), min_count=25
     ).select("word_a", "word_b", "pair_count", F.round("pmi", 4).alias("pmi"))
+
+
+@register(
+    "token_budget_sample_per_source",
+    """
+    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) OVER (
+               PARTITION BY source
+               ORDER BY len(regexp_extract_all(lower(text), '[a-z0-9]+')) DESC,
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM documents
+    ) WHERE cum_tokens <= 800
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curriculum cut: per source, keep longest-first
+    docs until 800 cumulative tokens (functions/sampling.py
+    token_budget_sample — one window shuffle keyed by source)."""
+    from mapreducewordoccurences_spark.functions.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"), budget_tokens=800
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")

@@ -53,3 +53,51 @@ def test_shuffle_key_total_order(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id")
     keys = [r["k"] for r in docs.select(deterministic_shuffle_key("doc_id").alias("k")).collect()]
     assert len(keys) == len(set(keys))  # md5 of distinct ids → total order
+
+
+class TestTokenBudgetSample:
+    def test_budget_inclusive_boundary(self, spark):
+        # group g: docs of 5, 3, 2 tokens (priority: longest first).
+        # budget 8 → keep 5-token and 3-token docs (cum 5, 8); drop 2.
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e", "g"),
+                (2, "a b c", "g"),
+                (3, "a b", "g"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        from mapreducewordoccurences_spark.functions.sampling import (
+            token_budget_sample,
+        )
+
+        got = token_budget_sample(df, budget_tokens=8).collect()
+        assert sorted((r["doc_id"], r["cum_tokens"]) for r in got) == [
+            (1, 5),
+            (2, 8),
+        ]
+
+    def test_groups_budgeted_independently(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "g1"), (2, "a b c", "g2"), (3, "a", "g2")],
+            "doc_id long, text string, source string",
+        )
+        from mapreducewordoccurences_spark.functions.sampling import (
+            token_budget_sample,
+        )
+
+        got = sorted(
+            r["doc_id"] for r in token_budget_sample(df, budget_tokens=3).collect()
+        )
+        assert got == [1, 2]  # g2's 1-token doc would push cum to 4
+
+    def test_invalid_budget_raises(self, spark):
+        import pytest as _pytest
+
+        from mapreducewordoccurences_spark.functions.sampling import (
+            token_budget_sample,
+        )
+
+        df = spark.createDataFrame([(1, "a", "g")], "doc_id long, text string, source string")
+        with _pytest.raises(ValueError):
+            token_budget_sample(df, budget_tokens=0)
