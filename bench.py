@@ -42,6 +42,19 @@ HEADLINE = [
     "embedding_cosine_topk",
 ]
 
+# round-2 additions, timed identically but reported under
+# "extra_queries" so "value" stays comparable with BENCH_r01
+EXTRA = [
+    "bm25_topk_docs",
+    "unigram_logprob_scores",
+    "pmi_collocations",
+    "token_budget_sample_per_source",
+    "chunk_documents_sliding",
+    "embedding_filtered_topk",
+    "decontaminate_ngram_overlap",
+    "dedup_incremental_batch",
+]
+
 
 def _default_driver_mem() -> str:
     """min(16g, ~70% of MemAvailable) — a fixed 16g default would stop
@@ -95,23 +108,29 @@ def main() -> int:
     # per-query min must sit below the 16-26 s host-noise band so
     # round-over-round deltas are attributable to plan changes.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
-        for r in range(runs):
-            t = time.monotonic()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.monotonic() - t, 3)
-            if r == 0:
-                cold[name] = dt
-            best = min(best, dt)
-            # operators that persist() reused subtrees (minhash/ngram)
-            # would otherwise accumulate caches across runs/queries and
-            # skew later timings with eviction pressure
-            spark.catalog.clearCache()
-        timings[name] = best
+
+    def time_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES[name]
+            best = float("inf")
+            for r in range(runs):
+                t = time.monotonic()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = round(time.monotonic() - t, 3)
+                if r == 0:
+                    cold[name] = dt
+                best = min(best, dt)
+                # operators that persist() reused subtrees (minhash/ngram)
+                # would otherwise accumulate caches across runs/queries and
+                # skew later timings with eviction pressure
+                spark.catalog.clearCache()
+            timings[name] = best
+        return timings, cold
+
+    timings, cold = time_set(HEADLINE)
+    extra, _ = time_set([q for q in EXTRA if q in QUERIES])
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -122,6 +141,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
+                "extra_total_sec": round(sum(extra.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "startup_sec": round(startup, 3),
                 "cold_total_sec": round(sum(cold.values()), 3),

@@ -119,8 +119,15 @@ def unigram_logprob(
     aggregate and total-token scalar are corpus-wide but
     vocabulary-sized — broadcastable at any corpus scale.
     """
-    tf = _tf(df, id_col, text_col)
-    vocab = tf.groupBy("word").agg(F.sum("tf").alias("cw"))
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(text_col), "[^a-z0-9]+")).alias("word"),
+    ).where(F.length("word") > 0)
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # vocab aggregates exploded tokens directly — map-side partial
+    # combine makes this one word-keyed shuffle, not a (doc, word)
+    # aggregation followed by a regroup
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cw"))
     total = vocab.agg(F.sum("cw").cast("double").alias("total"))
 
     logp = F.log(F.col("cw") / F.col("total"))
