@@ -389,3 +389,109 @@ def lsh_knn(
         [F.col("sim").desc(), F.col("neighbor_id").asc()],
         k,
     ).select(query_id_col, "neighbor_id", "rnk", "sim")
+
+
+def quantize_embedding(vec: Column | str) -> Column:
+    """Symmetric int8 quantization of one vector: struct(q, scale)
+    where ``q[i] = clamp(round_half_up(v[i] * 127 / max|v|), -127, 127)``
+    and ``scale = max|v| / 127`` (so ``v ≈ q * scale``).
+
+    round-half-up is spelled ``floor(x + 0.5)`` — identical in every
+    engine, unlike round() whose half-way tie rule differs (banker's
+    vs away-from-zero) between Spark, DuckDB, and numpy.
+
+    Zero vectors quantize to all-zero q with scale 0. The int8 payload
+    is 4× smaller than float32 — at 100 TB that is the difference
+    between a shuffle that fits and one that spills; dot products on
+    the quantized form then run in cheap integer arithmetic and the
+    exact tier re-ranks only the survivors.
+    """
+    v = _c(vec)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = mx / F.lit(127.0)
+    q = F.when(mx > 0, F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+            ),
+        ).cast("tinyint"),
+    )).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def quantized_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-stage top-k: score EVERY candidate on the int8-quantized
+    vectors (integer dot product × scales ≈ cosine numerator; norms
+    also from the quantized form, so ranking error is bounded by
+    quantization noise), keep ``rerank_factor × k`` per query, then
+    re-rank those exactly in float. Same output schema as
+    ``brute_force_knn``: (query_id, neighbor_id, cos_sim, rnk).
+
+    Why it scales: the wide scoring pass (|corpus| × |queries|) does
+    integer multiply-adds on int8 vectors instead of double FMAs, and
+    the double-precision pass touches only rerank_factor × k ×
+    |queries| rows. For a STORED quantized corpus (persist q + scale,
+    drop float32) the scan itself shrinks 4× — at 100 TB that is the
+    dominant saving; keep a float copy only for the final re-rank
+    fetch. Recall vs brute force is tested on the testdata embeddings.
+    """
+    cq = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        quantize_embedding(vec_col).alias("__cq"),
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        quantize_embedding(vec_col).alias("__qq"),
+    )
+    # integer dot product folded in long; cosine on quantized vectors
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("__cq.q"), F.col("__qq.q"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    qnorm_c = F.sqrt(F.aggregate(
+        F.transform(F.col("__cq.q"), lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v,
+    ).cast("double"))
+    qnorm_q = F.sqrt(F.aggregate(
+        F.transform(F.col("__qq.q"), lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v,
+    ).cast("double"))
+    approx = qdot / (qnorm_c * qnorm_q)
+
+    scored = (
+        cq.join(F.broadcast(qq), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__cv", "__qv", approx.alias("__approx"))
+    )
+    cand = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("__approx").desc(), F.col("neighbor_id").asc()],
+        rerank_factor * k,
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__qv", "__cv").alias("cos_sim"),
+    )
+    return top_k_per_group(
+        exact,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "cos_sim", "rnk")

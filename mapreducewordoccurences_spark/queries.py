@@ -3374,3 +3374,58 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         _t(spark, sf_dir, "documents"), budget_tokens=800
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "embedding_quantized_topk",
+    """
+    WITH q8 AS (
+      SELECT vec_id,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> GREATEST(-127, LEAST(127, CAST(floor(
+                      x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0)
+                      + 0.5) AS INT)))) AS q,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), approx AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, qs.v AS qv, c.v AS cv,
+             list_dot_product(CAST(qs.q AS DOUBLE[]), CAST(c.q AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qs.q AS DOUBLE[]), CAST(qs.q AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])))) AS a
+      FROM q8 qs JOIN q8 c ON c.vec_id <> qs.vec_id
+      WHERE qs.vec_id < 8
+    ), cand AS (
+      SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY a DESC, neighbor_id) AS arnk
+        FROM approx) WHERE arnk <= 12
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(cos_sim, 6) AS DOUBLE) AS cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))
+                                         * sqrt(list_dot_product(cv, cv))) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY list_dot_product(qv, cv)
+                                         / (sqrt(list_dot_product(qv, qv))
+                                            * sqrt(list_dot_product(cv, cv))) DESC,
+                                         neighbor_id) AS rnk
+      FROM cand)
+    WHERE rnk <= 3
+    """,
+)
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized search: int8 scoring pass (4× smaller
+    stored vectors, integer dot products) keeps 4k candidates, float
+    re-rank keeps k=3. floor(x+0.5) rounding on BOTH engines — round()
+    tie rules differ (functions/similarity.py quantized_knn)."""
+    from mapreducewordoccurences_spark.functions.similarity import quantized_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_knn(
+        emb, emb.where(F.col("vec_id") < 8), k=3, rerank_factor=4
+    ).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )

@@ -186,3 +186,56 @@ def test_ivf_persisted_probe_matches_inline(spark, tmp_path):
         for r in ivf_knn(emb, queries, k=5, nlist=16, nprobe=4).collect()
     }
     assert persisted == inline
+
+
+def test_quantize_embedding_roundtrip_error_bounded(spark):
+    from mapreducewordoccurences_spark.functions.similarity import quantize_embedding
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", quantize_embedding("embedding").alias("qz"), "embedding")
+    rows = {r["vec_id"]: r for r in df.collect()}
+    # max|v|=1.0 -> scale = 1/127; q = round(v*127)
+    assert rows[1]["qz"]["q"] == [64, -127, 32, 0]  # floor(63.5+0.5)=64
+    assert rows[1]["qz"]["scale"] == pytest.approx(1 / 127)
+    # dequantized error bounded by scale/2 per component
+    for q, v in zip(rows[1]["qz"]["q"], rows[1]["embedding"]):
+        assert abs(q * rows[1]["qz"]["scale"] - v) <= rows[1]["qz"]["scale"] / 2 + 1e-12
+    # zero vector: all-zero q, scale 0
+    assert rows[2]["qz"]["q"] == [0, 0, 0, 0]
+    assert rows[2]["qz"]["scale"] == 0.0
+
+
+def test_quantized_knn_recall_vs_brute_force(spark):
+    from mapreducewordoccurences_spark.functions.similarity import (
+        brute_force_knn,
+        quantized_knn,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id < 20")
+    exact = brute_force_knn(emb, queries, k=5)
+    approx = quantized_knn(emb, queries, k=5, rerank_factor=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+    # re-ranked cos_sim is EXACT float — identical for common pairs
+    ev = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    av = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in approx.collect()}
+    for pair in e & a:
+        assert av[pair] == pytest.approx(ev[pair], rel=1e-12)
+
+
+def test_quantized_knn_no_python_eval(spark):
+    from mapreducewordoccurences_spark.functions.similarity import quantized_knn
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = (
+        quantized_knn(emb, emb.where("vec_id < 2"), k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
