@@ -13,6 +13,7 @@ is vectorized and split-planned by ``spark.sql.files.maxPartitionBytes``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -69,3 +70,35 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (built-in, vectorized): same pushdown/pruning
     guarantees as parquet — PushedFilters reach the ORC scan."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes_per_file: int | None = None,
+) -> DataFrame:
+    """Binary-file source for raw media ingestion: one row per file
+    with (path, modificationTime, length, content: binary) — the entry
+    point that turns an object-store prefix of images/audio into the
+    opaque-payload layout multimodal/media.py operates on.
+
+    ``glob`` filters filenames (e.g. ``*.jpg``) at LISTING time —
+    non-matching files are never opened. ``max_bytes_per_file`` guards
+    executor memory: each row holds one whole file, so a stray 50 GB
+    video in the prefix would OOM the task that reads it; the filter
+    is pushed down (length is a partition-level metadata column, so
+    oversized files are skipped without reading their bytes).
+
+    At scale: files do NOT split (unlike text/parquet) — one file =
+    one task input. Re-pack tiny-file corpora into parquet with the
+    payload as a binary column (media.py layout) after first read;
+    listing 10⁸ small objects costs more than scanning them.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes_per_file is not None:
+        df = df.where(F.col("length") <= max_bytes_per_file)
+    return df

@@ -128,3 +128,29 @@ def test_orc_roundtrip_with_pushdown(spark, tmpd):
     pruned = read_orc(spark, path).where(F.col("k") == 1)
     assert "PartitionFilters" in formatted_plan(pruned)
     assert pruned.count() == sum(1 for i in range(100) if i % 3 == 1)
+
+
+class TestBinaryFileSource:
+    def test_reads_payload_and_glob_filters(self, spark, tmp_path):
+        from mapreducewordoccurences_spark.sources.readers import read_binary_files
+
+        (tmp_path / "a.bin").write_bytes(b"\x01\x02\x03")
+        (tmp_path / "b.bin").write_bytes(b"\xff" * 10)
+        (tmp_path / "skip.txt").write_text("nope")
+        df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+        rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+        assert set(rows) == {"a.bin", "b.bin"}
+        assert bytes(rows["a.bin"]["content"]) == b"\x01\x02\x03"
+        assert rows["b.bin"]["length"] == 10
+
+    def test_max_bytes_pushdown_skips_oversized(self, spark, tmp_path):
+        from mapreducewordoccurences_spark.sources.readers import read_binary_files
+
+        (tmp_path / "small.bin").write_bytes(b"ok")
+        (tmp_path / "big.bin").write_bytes(b"x" * 1000)
+        df = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes_per_file=100)
+        names = [r["path"].rsplit("/", 1)[-1] for r in df.collect()]
+        assert names == ["small.bin"]
+        # the length predicate reaches the scan (metadata pushdown)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "length" in plan.split("PushedFilters")[1][:120]
