@@ -77,9 +77,10 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard). jaccard is an int/int divide —
     bit-deterministic across engines.
 
-    ``persist`` caches the shingle table (MEMORY_AND_DISK): it is read
-    three times (both self-join sides + sizes) and Spark does not
-    dedupe repeated subtrees. The cache lives until LRU eviction or
+    ``persist`` caches the multiply-consumed intermediate (the capped
+    posting-list table, or the uncapped shingle table read by both
+    self-join sides + sizes) — Spark does not dedupe repeated
+    subtrees. The cache lives until LRU eviction or
     ``spark.catalog.clearCache()``; pass False for one-shot pipelines
     that would rather re-tokenize than hold executor memory.
 
@@ -93,37 +94,52 @@ def ngram_jaccard_pairs(
     sh = shingles_df(df, id_col, text_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
-    if persist:
-        sh = sh.persist()
     if max_shingle_df is not None:
-        # drop HOT shingles (df > cap) via broadcast anti-join: the hot
-        # list is small by construction (heavy hitters only), so the
-        # filter is map-side — one aggregation shuffle, not a second
-        # full shuffle of the posting table (a keep-list semi-join
-        # would re-shuffle every row)
-        hot = (
+        # posting-list formulation: ONE groupBy(shingle) builds the
+        # inverted index, the df cap is a free filter on list size
+        # (no separate hot-list aggregation, no anti-join), and
+        # candidate pairs are generated MAP-SIDE by exploding a<b
+        # combinations within each capped list — bounded at cap²/2 per
+        # shingle. Each (id, shingle) row is distinct by construction,
+        # so list entries are unique.
+        posting = (
             sh.groupBy("shingle")
-            .count()
-            .where(F.col("count") > max_shingle_df)
-            .select("shingle")
+            .agg(F.collect_list(id_col).alias("__ids"))
+            .where(F.size("__ids") <= max_shingle_df)
+            .select("__ids")
         )
-        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-        # persist the FILTERED table as well: the anti-join subtree has
-        # three consumers (sizes + both self-join sides) and Catalyst
-        # does not reuse the broadcast exchange across them — without
-        # this cache the hot-list aggregation runs three times
+        if persist:
+            # two consumers (sizes + pairs); one cache, list-sized rows
+            posting = posting.persist()
+        sizes = (
+            posting.select(F.explode("__ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        inter = (
+            posting.select(F.explode("__ids").alias("doc_a"), "__ids")
+            .select(
+                "doc_a",
+                F.explode(
+                    F.filter("__ids", lambda b_: b_ > F.col("doc_a"))
+                ).alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+    else:
         if persist:
             sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle", how="inner")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, on="shingle", how="inner")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
     jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))

@@ -80,3 +80,38 @@ def salted_join(
     )
     out = l_salted.join(r_replicated, on=[*keys, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Skew diagnostic for a prospective shuffle key: per-key row
+    counts for the ``top_n`` hottest keys plus each key's share of
+    total rows and its ratio to the mean key load. ratio_to_mean ≈
+    the slowdown factor the hottest reducer imposes on the stage —
+    the number that decides between a plain groupBy, salting, or AQE
+    skew-join before a job runs at 100 TB.
+
+    The per-key aggregation (map-side combine) is persisted and read
+    twice: once through a distributed TakeOrderedAndProject for the
+    top-N, once through a single-row totals aggregate that broadcasts
+    onto those N rows. No stage ever holds the full key set in one
+    task — a global window here would funnel every distinct key
+    through one reducer, exactly the skew this function diagnoses.
+    """
+    per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows")).persist()
+    totals = per.agg(
+        F.sum("n_rows").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__n_keys"),
+    )
+    top = per.orderBy(F.col("n_rows").desc(), *key_cols).limit(top_n)
+    return top.join(F.broadcast(totals), how="cross").select(
+        *key_cols,
+        "n_rows",
+        (F.col("n_rows") / F.col("__total")).alias("row_share"),
+        (F.col("n_rows") / (F.col("__total") / F.col("__n_keys"))).alias(
+            "ratio_to_mean"
+        ),
+    )

@@ -3429,3 +3429,34 @@ def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
     )
+
+
+@register(
+    "key_skew_event_users",
+    """
+    WITH per AS (
+      SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS DOUBLE) AS n_keys FROM per
+    )
+    SELECT user_id, n_rows,
+           CAST(ROUND(n_rows / tot.total, 6) AS DOUBLE) AS row_share,
+           CAST(ROUND(n_rows / (tot.total / tot.n_keys), 6) AS DOUBLE) AS ratio_to_mean
+    FROM per CROSS JOIN tot
+    ORDER BY n_rows DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: 10 hottest user_ids with row share
+    and hot-reducer ratio (operators/skew.py key_skew_stats —
+    distributed top-N, never a global window over the key set)."""
+    from mapreducewordoccurences_spark.operators.skew import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "events"), ["user_id"], top_n=10).select(
+        "user_id",
+        "n_rows",
+        F.round("row_share", 6).alias("row_share"),
+        F.round("ratio_to_mean", 6).alias("ratio_to_mean"),
+    )

@@ -89,3 +89,43 @@ def start_foreach_batch_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    max_records_per_file: int | None = None,
+    salt: str = "",
+    mode: str = "overwrite",
+) -> None:
+    """Training-shard writer: the corpus lands as ``n_shards``
+    contiguous ranges of a deterministic md5 shuffle key — a
+    reproducible global shuffle materialized as files. The same rows
+    land in the same shard with the same intra-shard order on every
+    run and cluster size; change ``salt`` to get a fresh epoch
+    permutation.
+
+    ``repartitionByRange`` samples key quantiles so shards are
+    size-balanced even when ids aren't; ``sortWithinPartitions``
+    fixes the intra-file order (readers streaming a shard see one
+    deterministic sequence). ``max_records_per_file`` caps file size
+    below executor/loader memory — the small-files governance knob in
+    the other direction (against 100 GB monoliths; against tiny files,
+    lower n_shards).
+    """
+    from mapreducewordoccurences_spark.functions.sampling import (
+        deterministic_shuffle_key,
+    )
+
+    keyed = df.withColumn("__shard_key", deterministic_shuffle_key(id_col, salt))
+    writer = (
+        keyed.repartitionByRange(n_shards, "__shard_key")
+        .sortWithinPartitions("__shard_key")
+        .drop("__shard_key")
+        .write.mode(mode)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -50,3 +50,36 @@ def test_simhash_pairs_overlap_exact_jaccard(spark):
     if jac_pairs:
         recall = len(sim_pairs & jac_pairs) / len(jac_pairs)
         assert recall >= 0.8, (recall, len(sim_pairs), len(jac_pairs))
+
+
+def test_ngram_jaccard_capped_path_semantics(spark):
+    """The posting-list capped path must (a) equal the uncapped
+    self-join when the cap doesn't bind, (b) drop hot shingles from
+    both intersections AND set sizes when it does."""
+    from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "w1 w2 w3 w4 w5 w6"),   # exact dup of 1
+            (3, "w1 w2 w3 x y z"),       # shares prefix shingle only
+        ],
+        "doc_id long, text string",
+    )
+
+    def pairs(**kw):
+        return {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=0.0, persist=False, **kw).collect()
+        }
+
+    uncapped = pairs()
+    loose = pairs(max_shingle_df=10)
+    assert loose == uncapped  # cap above every df: identical output
+
+    # 'w1 w2 w3' appears in all 3 docs; cap=2 drops it. Docs 1,2 still
+    # share 3 surviving shingles (J=1.0); pair (1,3)/(2,3) lose their
+    # only shared shingle and vanish at threshold 0 denominator>0.
+    tight = pairs(max_shingle_df=2)
+    assert set(tight) == {(1, 2)}
+    assert tight[(1, 2)] == pytest.approx(1.0)

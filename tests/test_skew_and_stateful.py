@@ -139,3 +139,32 @@ def test_transform_with_state_running_user_totals(spark):
     finally:
         spark.conf.set(conf_key, prev)
         shutil.rmtree(d, ignore_errors=True)
+
+
+class TestKeySkewStats:
+    def test_hand_computed_shares(self, spark):
+        from mapreducewordoccurences_spark.operators.skew import key_skew_stats
+
+        df = spark.createDataFrame(
+            [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1, "k string"
+        )
+        rows = key_skew_stats(df, ["k"], top_n=2).collect()
+        assert [(r["k"], r["n_rows"]) for r in rows] == [("hot", 6), ("warm", 3)]
+        hot = rows[0]
+        assert hot["row_share"] == pytest.approx(0.6)
+        # mean key load = 10/3; ratio = 6/(10/3) = 1.8
+        assert hot["ratio_to_mean"] == pytest.approx(1.8)
+
+    def test_no_single_partition_exchange_of_keys(self, spark):
+        from mapreducewordoccurences_spark.operators.skew import key_skew_stats
+
+        df = spark.createDataFrame([("a",), ("b",)], "k string")
+        plan = (
+            key_skew_stats(df, ["k"], top_n=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # top-N must compile to TakeOrderedAndProject, not a global sort
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan

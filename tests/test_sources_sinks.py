@@ -154,3 +154,53 @@ class TestBinaryFileSource:
         # the length predicate reaches the scan (metadata pushdown)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "length" in plan.split("PushedFilters")[1][:120]
+
+
+class TestTrainingShards:
+    def test_shard_count_determinism_and_order(self, spark, tmp_path):
+        from mapreducewordoccurences_spark.sources.sinks import write_training_shards
+
+        df = spark.range(200).withColumnRenamed("id", "doc_id")
+        p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+        write_training_shards(df, p1, "doc_id", n_shards=4)
+        write_training_shards(df, p2, "doc_id", n_shards=4)
+
+        import glob as g
+
+        files1 = sorted(g.glob(f"{p1}/part-*"))
+        assert len(files1) == 4
+        # identical runs produce identical shard contents in order
+        r1 = [r["doc_id"] for r in spark.read.parquet(p1).collect()]
+        r2 = [r["doc_id"] for r in spark.read.parquet(p2).collect()]
+        assert sorted(r1) == list(range(200))
+        # per-file sequences match across the two writes
+        for f1, f2 in zip(files1, sorted(g.glob(f"{p2}/part-*"))):
+            a = [r["doc_id"] for r in spark.read.parquet(f1).collect()]
+            b = [r["doc_id"] for r in spark.read.parquet(f2).collect()]
+            assert a == b
+
+    def test_salt_changes_permutation(self, spark, tmp_path):
+        from mapreducewordoccurences_spark.sources.sinks import write_training_shards
+
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        pa, pb = str(tmp_path / "s0"), str(tmp_path / "s1")
+        write_training_shards(df, pa, "doc_id", n_shards=2)
+        write_training_shards(df, pb, "doc_id", n_shards=2, salt="epoch1")
+        import glob as g
+
+        a0 = [r["doc_id"] for r in spark.read.parquet(sorted(g.glob(f"{pa}/part-*"))[0]).collect()]
+        b0 = [r["doc_id"] for r in spark.read.parquet(sorted(g.glob(f"{pb}/part-*"))[0]).collect()]
+        assert a0 != b0  # different epoch permutation
+        rows = [r["doc_id"] for r in spark.read.parquet(pb).collect()]
+        assert sorted(rows) == list(range(100))  # still a permutation
+
+    def test_max_records_per_file_caps(self, spark, tmp_path):
+        from mapreducewordoccurences_spark.sources.sinks import write_training_shards
+
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        p = str(tmp_path / "capped")
+        write_training_shards(df, p, "doc_id", n_shards=2, max_records_per_file=20)
+        import glob as g
+
+        for f in g.glob(f"{p}/part-*"):
+            assert spark.read.parquet(f).count() <= 20
