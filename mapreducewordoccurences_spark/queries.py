@@ -3460,3 +3460,47 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("row_share", 6).alias("row_share"),
         F.round("ratio_to_mean", 6).alias("ratio_to_mean"),
     )
+
+
+@register(
+    "corpus_prep_pipeline",
+    """
+    WITH measured AS (
+      SELECT doc_id, source, text,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ), gated AS (
+      SELECT * FROM measured WHERE n_tokens >= 20
+    ), keepers AS (
+      SELECT min(doc_id) AS doc_id FROM gated
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ), deduped AS (
+      SELECT g.* FROM gated g JOIN keepers USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM deduped
+    ) WHERE cum_tokens <= 600
+    """,
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: length gate (≥20 tokens) → exact-dedup
+    survivors (min-id per normalized-text fingerprint) → per-source
+    600-token curriculum cut. Composes quality gate + drop_exact_dups
+    + token_budget_sample; shuffle inventory = fingerprint groupBy +
+    semi-join + one source-keyed window — nothing quadratic, nothing
+    driver-side."""
+    from mapreducewordoccurences_spark.dedup.exact import drop_exact_dups
+    from mapreducewordoccurences_spark.functions.sampling import token_budget_sample
+    from mapreducewordoccurences_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.where(token_count("text") >= 20)
+    deduped = drop_exact_dups(gated)
+    return token_budget_sample(deduped, budget_tokens=600).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
