@@ -53,6 +53,9 @@ EXTRA = [
     "embedding_filtered_topk",
     "decontaminate_ngram_overlap",
     "dedup_incremental_batch",
+    "embedding_quantized_topk",
+    "corpus_prep_pipeline",
+    "key_skew_event_users",
 ]
 
 

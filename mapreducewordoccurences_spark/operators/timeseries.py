@@ -1,0 +1,74 @@
+"""Time-series resampling with gap fill — the downsample step between
+raw event streams and fixed-interval models (monitoring rollups,
+feature windows). Complements the as-of join (operators/joins.py) and
+sessionization (queries.py): as-of aligns two irregular series, this
+regularizes one.
+
+No reference counterpart (the reference is a word-count CLI); built on
+the engine's events table conventions (nanosecond-epoch longs,
+micros = ``ts div 1000``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_with_gap_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per key: bucket observations into fixed ``bucket_us`` windows
+    (aggregate = bucket MAX — deterministic with no tiebreak), emit
+    EVERY bucket between the key's first and last observation, and
+    forward-fill empty buckets with the last observed aggregate.
+
+    Returns (key, bucket, v, filled): ``v`` is null for gap rows,
+    ``filled`` is the gap-filled series. The first bucket per key is
+    an observation by construction, so ``filled`` is never null.
+
+    Plan: one (key, bucket) aggregation; a per-key min/max aggregate
+    whose ``sequence`` explode materializes the dense bucket axis
+    (rows ∝ time-range/bucket, independent of event count); a left
+    join back on (key, bucket); one per-key window for the fill. All
+    four shuffles share the key, and AQE coalesces the dense axis —
+    per-key state never exceeds the bucket range. Keys are
+    independent — no global ordering anywhere, so the plan scales out
+    with key cardinality (the skew ceiling is one key's bucket range,
+    bounded by retention/bucket_us, not by event volume).
+    """
+    # integer div end-to-end: float division would lose precision on
+    # nanosecond-epoch longs (2⁶² range vs double's 53-bit mantissa)
+    bucket = F.expr(f"({ts_col} div 1000) div {int(bucket_us)}")
+    obs = (
+        df.select(
+            F.col(key_col),
+            bucket.cast("long").alias("bucket"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.max("__v").alias("v"))
+    )
+    axis = (
+        obs.groupBy(key_col)
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence("__lo", "__hi")).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return axis.join(obs, on=[key_col, "bucket"], how="left").select(
+        F.col(key_col),
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )

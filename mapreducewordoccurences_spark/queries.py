@@ -3504,3 +3504,32 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(deduped, budget_tokens=600).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
+
+
+@register(
+    "resample_user_value_hourly",
+    """
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, MAX(value) AS v
+      FROM events GROUP BY 1, 2
+    ), axis AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+      FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM obs GROUP BY user_id)
+    )
+    SELECT a.user_id, a.bucket, o.v,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY a.user_id ORDER BY a.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM axis a LEFT JOIN obs o USING (user_id, bucket)
+    """,
+)
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + forward fill per user: dense bucket axis
+    between each user's first/last event, gaps carry the last observed
+    hourly max (operators/timeseries.py resample_with_gap_fill)."""
+    from mapreducewordoccurences_spark.operators.timeseries import (
+        resample_with_gap_fill,
+    )
+
+    return resample_with_gap_fill(_t(spark, sf_dir, "events"))

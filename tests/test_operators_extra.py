@@ -239,3 +239,71 @@ def test_quantized_knn_no_python_eval(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+class TestResampleGapFill:
+    def _mk(self, spark, rows):
+        # ts in nanos; bucket_us=1000 → bucket = micros div 1000 = millis
+        return spark.createDataFrame(rows, "user_id long, ts long, value double")
+
+    def test_gaps_forward_filled(self, spark):
+        from mapreducewordoccurences_spark.operators.timeseries import (
+            resample_with_gap_fill,
+        )
+
+        df = self._mk(
+            spark,
+            [
+                (1, 0, 10.0),            # bucket 0
+                (1, 1_000_000, 11.0),    # bucket 1
+                (1, 4_000_000, 14.0),    # bucket 4: gap at 2,3
+            ],
+        )
+        got = sorted(
+            (r["bucket"], r["v"], r["filled"])
+            for r in resample_with_gap_fill(
+                df, ts_col="ts", bucket_us=1000
+            ).collect()
+        )
+        assert got == [
+            (0, 10.0, 10.0),
+            (1, 11.0, 11.0),
+            (2, None, 11.0),
+            (3, None, 11.0),
+            (4, 14.0, 14.0),
+        ]
+
+    def test_bucket_max_and_per_key_ranges(self, spark):
+        from mapreducewordoccurences_spark.operators.timeseries import (
+            resample_with_gap_fill,
+        )
+
+        df = self._mk(
+            spark,
+            [
+                (1, 0, 1.0),
+                (1, 500_000, 9.0),   # same bucket as above → max 9
+                (2, 7_000_000, 3.0),  # key 2 exists only in bucket 7
+            ],
+        )
+        got = {
+            (r["user_id"], r["bucket"]): (r["v"], r["filled"])
+            for r in resample_with_gap_fill(
+                df, ts_col="ts", bucket_us=1000
+            ).collect()
+        }
+        assert got == {(1, 0): (9.0, 9.0), (2, 7): (3.0, 3.0)}
+
+    def test_no_python_eval(self, spark):
+        from mapreducewordoccurences_spark.operators.timeseries import (
+            resample_with_gap_fill,
+        )
+
+        df = self._mk(spark, [(1, 0, 1.0)])
+        plan = (
+            resample_with_gap_fill(df, ts_col="ts", bucket_us=1000)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan

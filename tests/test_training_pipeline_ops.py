@@ -162,3 +162,57 @@ class TestSourceMixWeights:
         assert got["big"]["mix_weight"] * 6 == pytest.approx(
             got["small"]["mix_weight"] * 3
         )
+
+
+class TestChunkDocumentsProperty:
+    """Differential invariants for ANY text: chunks with stride ==
+    chunk_tokens reconstruct the token stream exactly; sliding chunks
+    cover every token; chunk ids are dense from 0."""
+
+    def test_chunks_reconstruct_tokens(self, spark):
+        import re
+
+        from hypothesis import given, settings, strategies as st
+
+        from mapreducewordoccurences_spark.functions.text import chunk_documents
+
+        text_strategy = st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("Lu", "Ll", "Nd", "Po", "Zs")
+            ),
+            max_size=120,
+        )
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.lists(text_strategy, min_size=1, max_size=8))
+        def run(texts):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+            )
+            got = chunk_documents(df, chunk_tokens=4, stride=4).collect()
+            by_doc = {}
+            for r in got:
+                by_doc.setdefault(r["doc_id"], []).append(
+                    (r["chunk_id"], r["chunk_text"])
+                )
+            for i, t in enumerate(texts):
+                toks = re.findall(r"[a-z0-9]+", t.lower())
+                chunks = sorted(by_doc.get(i, []))
+                # dense ids from 0
+                assert [c for c, _ in chunks] == list(range(len(chunks)))
+                rebuilt = " ".join(txt for _, txt in chunks).split()
+                assert rebuilt == toks, (i, t)
+
+        run()
+
+    def test_sliding_covers_all_tokens(self, spark):
+        from mapreducewordoccurences_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(23)))], "doc_id long, text string"
+        )
+        got = chunk_documents(df, chunk_tokens=8, stride=3).collect()
+        covered = set()
+        for r in got:
+            covered.update(r["chunk_text"].split())
+        assert covered == {f"t{i}" for i in range(23)}
