@@ -112,6 +112,8 @@ def main() -> int:
     # round-over-round deltas are attributable to plan changes.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
 
+    errors: dict[str, str] = {}
+
     def time_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}
@@ -120,7 +122,14 @@ def main() -> int:
             best = float("inf")
             for r in range(runs):
                 t = time.monotonic()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                # one failing query must not zero out the whole round's
+                # perf signal: record the error, skip, keep timing the rest
+                try:
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                except Exception as exc:  # noqa: BLE001
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+                    break
                 dt = round(time.monotonic() - t, 3)
                 if r == 0:
                     cold[name] = dt
@@ -129,10 +138,20 @@ def main() -> int:
                 # would otherwise accumulate caches across runs/queries and
                 # skew later timings with eviction pressure
                 spark.catalog.clearCache()
-            timings[name] = best
+            if name not in errors:
+                timings[name] = best
         return timings, cold
 
-    timings, cold = time_set(HEADLINE)
+    headline = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL"):
+        # test hook for the error-resilience path: a query that fails
+        # analysis, proving one bad query can't zero the round's signal
+        QUERIES["__inject_fail__"] = lambda s, d: s.sql(
+            "SELECT * FROM __no_such_table__"
+        )
+        headline.append("__inject_fail__")
+
+    timings, cold = time_set(headline)
     extra, _ = time_set([q for q in EXTRA if q in QUERIES])
 
     total = round(sum(timings.values()), 3)
@@ -151,6 +170,7 @@ def main() -> int:
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "runs_per_query": runs,
                 "cpus": int(cpus),
+                "errors": errors,
             }
         )
     )

@@ -5,14 +5,17 @@ sessionization (queries.py): as-of aligns two irregular series, this
 regularizes one.
 
 No reference counterpart (the reference is a word-count CLI); built on
-the engine's events table conventions (nanosecond-epoch longs,
-micros = ``ts div 1000``).
+the engine's one event-time convention — int64 epoch-micros via the
+schema-adaptive ``sources.readers.ts_micros`` helper (accepts
+timestamp, timestamp_ntz, or legacy bigint-nanos input).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from mapreducewordoccurences_spark.sources.readers import ts_micros
 
 
 def resample_with_gap_fill(
@@ -42,13 +45,17 @@ def resample_with_gap_fill(
     bounded by retention/bucket_us, not by event volume).
     """
     # integer div end-to-end: float division would lose precision on
-    # nanosecond-epoch longs (2⁶² range vs double's 53-bit mantissa)
-    bucket = F.expr(f"({ts_col} div 1000) div {int(bucket_us)}")
+    # epoch-scale longs (up to 2⁶² range vs double's 53-bit mantissa)
     obs = (
         df.select(
             F.col(key_col),
-            bucket.cast("long").alias("bucket"),
+            ts_micros(df, ts_col).alias("__us"),
             F.col(value_col).alias("__v"),
+        )
+        .select(
+            F.col(key_col),
+            F.expr(f"__us div {int(bucket_us)}").alias("bucket"),
+            F.col("__v"),
         )
         .groupBy(key_col, "bucket")
         .agg(F.max("__v").alias("v"))

@@ -10,8 +10,11 @@ operators/aggregates.py):
 - every window/top-k ORDER BY is made total with a unique tiebreak.
 - ratios are single int/int divides (deterministic IEEE) — no float
   accumulation.
-- event timestamps are int64 epoch-nanos on both sides (Spark:
-  nanosAsLong; DuckDB: epoch_ns).
+- all event-time arithmetic runs on int64 epoch-MICROseconds via the
+  schema-adaptive ``sources.readers.ts_micros`` helper (Spark:
+  unix_micros, or ``div 1000`` on legacy bigint-nanos input; DuckDB:
+  epoch_us) — micros is the precision Spark TimestampType and DuckDB
+  TIMESTAMP share, and integer ops are bit-deterministic.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ from mapreducewordoccurences_spark.functions.text import language_id, quality_sc
 from mapreducewordoccurences_spark.operators.aggregates import decimal_avg, decimal_sum
 from mapreducewordoccurences_spark.operators.joins import anti_join, asof_join, semi_join
 from mapreducewordoccurences_spark.operators.windows import running_agg, top_k_per_group
-from mapreducewordoccurences_spark.sources.readers import load_table
+from mapreducewordoccurences_spark.sources.readers import load_table, ts_micros
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -436,7 +439,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_purchase_signup",
     """
     SELECT p.event_id, p.user_id,
-           (epoch_ns(p.ts) - epoch_ns(s.ts)) // 1000000000 AS gap_seconds
+           (epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS gap_seconds
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
       ON p.user_id = s.user_id AND p.ts >= s.ts
@@ -446,7 +449,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest signup at
     or before it (union + single window pass — one shuffle; see
     operators/joins.py)."""
-    ev = _t(spark, sf_dir, "events")  # ts is int64 epoch-nanos
+    ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase")
     signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
     joined = asof_join(
@@ -458,7 +461,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=[],
         direction="backward",
     )
-    gap = F.floor((F.col("ts") - F.col("ts_right")) / F.lit(1_000_000_000)).cast("long")
+    # gap in whole seconds from epoch-micros (schema-adaptive; a direct
+    # timestamp subtraction would yield an INTERVAL, which floor rejects)
+    gap = F.floor(
+        (ts_micros(joined, "ts") - ts_micros(joined, "ts_right")) / F.lit(1_000_000)
+    ).cast("long")
     return joined.select("event_id", "user_id", gap.alias("gap_seconds"))
 
 
@@ -1795,14 +1802,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 30-minute silence. One shuffle total — the lag window, the
     running-sum window, and the final groupBy all share the user_id
     partitioning (the two windows additionally share one sort). All
-    arithmetic is int64 epoch-MICROseconds (integer ``div`` — a float
-    divide would lose precision past 2^53; micros because DuckDB
-    timestamps truncate nanos): bit-deterministic, and (event_id)
-    tiebreaks make both windows total orders."""
+    arithmetic is int64 epoch-MICROseconds (via the schema-adaptive
+    ``ts_micros`` helper): bit-deterministic, and (event_id) tiebreaks
+    make both windows total orders."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     ordered = ev.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+        "user_id", "event_id", ts_micros(ev, "ts").alias("ts_us")
     ).withColumn(
         "is_new",
         F.when(
@@ -2147,7 +2153,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us"), "value"
+        "user_id", "event_id", ts_micros(ev, "ts").alias("ts_us"), "value"
     ).select(
         "user_id",
         "event_id",

@@ -12,7 +12,7 @@ is vectorized and split-planned by ``spark.sql.files.maxPartitionBytes``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -21,11 +21,36 @@ TABLES = (
 
 
 def _enable_nanos(spark: SparkSession) -> None:
-    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    # default (PARQUET_TYPE_ILLEGAL); this legacy conf reads nanos as
-    # BIGINT nanoseconds-since-epoch. We keep them as int64 on purpose:
-    # epoch-nanos arithmetic is timezone-proof and totally ordered.
+    # Forward-compat: if events.parquet is ever written as
+    # TIMESTAMP(NANOS) again (Spark 4 rejects it by default with
+    # PARQUET_TYPE_ILLEGAL), this legacy conf reads nanos as BIGINT
+    # nanoseconds-since-epoch instead of failing. It is a no-op for
+    # micro-precision timestamp columns, so it is always safe to set.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def ts_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microseconds BIGINT from an event-time column, whatever
+    physical type the source delivered.
+
+    The engine's one timestamp convention: all event-time arithmetic
+    (as-of gaps, session splits, range frames, resample buckets) runs
+    on int64 epoch-micros — integer ops are bit-deterministic across
+    engines, totally ordered, and micros is the precision both Spark
+    TimestampType and DuckDB TIMESTAMP share. This helper adapts to
+    the three shapes testdata has shipped as:
+
+    - ``timestamp`` / ``timestamp_ntz`` (parquet timestamp[us]; the
+      session TZ is pinned UTC, so the ntz→ltz cast is the identity)
+    - ``bigint`` (legacy nanosAsLong epoch-nanos)
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # legacy epoch-nanos as int64
+        return F.expr(f"`{col}` div 1000")
+    c = F.col(col)
+    if dtype == "timestamp_ntz":
+        c = c.cast("timestamp")  # UTC session TZ → identity shift
+    return F.unix_micros(c)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from mapreducewordoccurences_spark.sources.readers import ts_micros
+
 STATE_SCHEMA = "n_events BIGINT, total_value DOUBLE, last_ts BIGINT"
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -61,10 +63,12 @@ def _update_user_state(
 
 
 def running_user_totals(stream_df: DataFrame) -> DataFrame:
-    """Per-user running totals with explicit state (epoch-nanos ``ts``
-    and double ``value`` columns required, events-table shape)."""
+    """Per-user running totals with explicit state (events-table shape:
+    a ``ts`` event-time column and a double ``value`` column; ``ts`` is
+    normalized to int64 epoch-micros so the state row stays a flat
+    BIGINT regardless of the source's physical timestamp type)."""
     return (
-        stream_df.select("user_id", "ts", "value")
+        stream_df.select("user_id", ts_micros(stream_df, "ts").alias("ts"), "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_state,
@@ -142,7 +146,7 @@ def running_user_totals_tws(stream_df: DataFrame) -> DataFrame:
     Set ``ROCKSDB_STATE_CONF`` on the session before starting the
     query; requires ``tws_available()`` (protobuf)."""
     return (
-        stream_df.select("user_id", "ts", "value")
+        stream_df.select("user_id", ts_micros(stream_df, "ts").alias("ts"), "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=_make_totals_processor(),

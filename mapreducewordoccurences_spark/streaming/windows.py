@@ -6,9 +6,10 @@ than the watermark relative to max seen event-time are dropped; state
 older than the watermark is evicted — bounded state at 100 TB/day
 streams).
 
-The events table carries int64 epoch-nanos (see sources/readers.py);
-streaming window functions need TimestampType, so these helpers accept
-either and normalize.
+The events table's ``ts`` has shipped as parquet timestamp[us]
+(TimestampNTZType in Spark) and, historically, as int64 epoch-nanos
+(see sources/readers.py); streaming window functions need an event-time
+timestamp, so these helpers accept any of those shapes and normalize.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from pyspark.sql import types as T
 
 def _as_event_time(df: DataFrame, ts_col: str) -> tuple[DataFrame, str]:
     dtype = dict(df.dtypes)[ts_col]
-    if dtype == "bigint":  # epoch-nanos → timestamp (microsecond precision)
+    if dtype == "bigint":  # legacy epoch-nanos → timestamp (micro precision)
         return (
             df.withColumn("__event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))),
             "__event_time",

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mapreducewordoccurences_spark.operators.joins import asof_join, range_join
-from mapreducewordoccurences_spark.sources.readers import load_table
+from mapreducewordoccurences_spark.sources.readers import load_table, ts_micros
 
 from tests.conftest import SF_DIR
 
@@ -18,14 +18,17 @@ def test_asof_join_forward_direction(spark, duck):
     ev = load_table(spark, SF_DIR, "events")
     purchases = ev.where(F.col("event_type") == "purchase")
     signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
-    # compare at microsecond precision: DuckDB TIMESTAMP truncates the
-    # parquet nanos, Spark keeps them as int64
+    # compare at microsecond precision on both engines (ts_micros is
+    # schema-adaptive: timestamp[us] parquet or legacy bigint-nanos)
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=[], direction="forward",
+    )
     got = {
-        (r["event_id"], None if r["ts_right"] is None else r["ts_right"] // 1000)
-        for r in asof_join(
-            purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
-            right_cols=[], direction="forward",
-        ).select("event_id", "ts_right").collect()
+        (r["event_id"], r["ts_right_us"])
+        for r in joined.select(
+            "event_id", ts_micros(joined, "ts_right").alias("ts_right_us")
+        ).collect()
     }
     expected = {
         (r[0], r[1])

@@ -122,9 +122,10 @@ def test_session_window_counts(spark, tmpdir):
     assert got == [2, 3]
 
 
-def test_streaming_events_nanos_normalization(spark):
-    """The int64-nanos events table converts to event-time for
-    windowing (batch DataFrame check of the same expression)."""
+def test_streaming_events_ts_normalization(spark):
+    """The events table's ts column (whatever physical type the
+    testdata ships) converts to event-time for windowing (batch
+    DataFrame check of the same expression)."""
     from mapreducewordoccurences_spark.sources.readers import load_table
     from mapreducewordoccurences_spark.streaming.windows import _as_event_time
 
