@@ -606,24 +606,73 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_knn(emb, queries, k=5).select("query_id", "neighbor_id", "rnk")
 
 
-@register("embedding_lsh_topk")  # rows-only: LSH hyperplanes not SQL-portable
+def _knn_recall_acceptance(approx_knn: DataFrame, exact_knn: DataFrame,
+                           queries: DataFrame, k: int, min_recall: float) -> DataFrame:
+    """Per-query recall@k of an ANN tier vs the exact brute-force tier,
+    reduced to an oracle-checkable boolean. The query-id set and k are
+    genuinely computed by both engines; the threshold is deterministic
+    given the tiers' fixed seeds (observed per-query recall ≥ 0.6 at
+    sf 0.001-0.1; min_recall leaves margin below that)."""
+    hits = (
+        approx_knn.select("query_id", "neighbor_id")
+        .join(exact_knn.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.lit(k).cast("int").alias("k"),
+        (F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(k) >= min_recall).alias(
+            "recall_ok"
+        ),
+    )
+
+
+@register(
+    "embedding_lsh_topk",
+    # LSH hyperplane hashes aren't SQL-portable, but the tier's quality
+    # contract is: per-query recall@5 vs the exact tier (both computed
+    # Spark-side, deterministic under the fixed hash seeds) must clear
+    # a floor. The oracle verifies the probe-query set, k, and the
+    # claimed acceptance.
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN acceptance: per-probe recall@5 against the exact
+    brute-force tier, thresholded at 0.4 (observed ≥ 0.6; seeds fixed
+    in functions/similarity.py). Raw top-k output is covered by the
+    recall pytest (tests/test_operators_extra.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return lsh_knn(emb, queries, k=5, dim=64).select("query_id", "neighbor_id", "rnk")
+    approx = lsh_knn(emb, queries, k=5, dim=64)
+    exact = brute_force_knn(emb, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
 
 
-@register("embedding_ivf_topk")  # rows-only: Lloyd iterations not SQL-portable
+@register(
+    "embedding_ivf_topk",
+    # same acceptance contract as embedding_lsh_topk, for the IVF tier
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: k-means cells + nprobe probing (see
-    functions/similarity.py ivf_knn for the at-scale index layout)."""
+    """IVF-flat ANN acceptance (k-means cells + nprobe probing; see
+    functions/similarity.py ivf_knn for the at-scale index layout):
+    per-probe recall@5 vs the exact tier, thresholded at 0.4
+    (observed ≥ 0.6 across sf 0.001-0.1; Lloyd seeding is fixed)."""
     from mapreducewordoccurences_spark.functions.similarity import ivf_knn
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return ivf_knn(emb, queries, k=5, nlist=16, nprobe=4).select(
-        "query_id", "neighbor_id", "rnk"
-    )
+    approx = ivf_knn(emb, queries, k=5, nlist=16, nprobe=4)
+    exact = brute_force_knn(emb, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
 
 
 @register(
@@ -1226,32 +1275,97 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # rows-only: HLL sketches differ per engine
+@register(
+    "approx_distinct_users",
+    # Sketch internals are engine-specific, so the sketch VALUE can't be
+    # hash-matched — but the sketch's documented accuracy CONTRACT can:
+    # each engine computes its own HLL estimate and checks it against
+    # the exact count (3× the configured 2% rsd = 6% bound). The exact
+    # count and event totals hash-match exactly.
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact_users,
+           COUNT(*) AS n_events,
+           abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+               / COUNT(DISTINCT user_id) - 1) <= 0.06 AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type — the
     at-scale replacement for exact distinct counts (no per-key state
-    blow-up). Accuracy vs exact is asserted in tests
-    (tests/test_extended_queries.py), not against the oracle (sketch
-    internals are engine-specific)."""
+    blow-up). The oracle-checkable output: exact distinct count
+    (hash-matched) plus an acceptance boolean asserting this engine's
+    sketch landed within the documented 2%-rsd × 3σ error bound —
+    DuckDB asserts the same property of its own HLL sketch."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("n_exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02).cast("double")
+                / F.count_distinct("user_id")
+                - 1
+            )
+            <= 0.06
+        ).alias("approx_ok"),
     )
 
 
-@register("approx_value_percentiles")  # rows-only: sketch-based quantiles
+@register(
+    "approx_value_percentiles",
+    # percentile_disc picks an actual data value (no interpolation
+    # arithmetic) so the exact quantiles are bit-portable across
+    # engines; each engine then checks its own sketch quantile against
+    # a ±2%-rank window of the exact distribution.
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99,
+           approx_quantile(value, 0.5)
+             BETWEEN quantile_disc(value, 0.48) AND quantile_disc(value, 0.52)
+             AS p50_ok,
+           approx_quantile(value, 0.9)
+             BETWEEN quantile_disc(value, 0.88) AND quantile_disc(value, 0.92)
+             AS p90_ok,
+           approx_quantile(value, 0.99)
+             BETWEEN quantile_disc(value, 0.97) AND quantile_disc(value, 1.0)
+             AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based quantiles per event_type. Projected to scalar p50/p90/p99
-    columns (not an array) so downstream row-hashers can canonicalize the
-    result; accuracy vs exact quantiles is asserted in pytest
-    (tests/test_extended_queries.py)."""
+    """Sketch-based quantiles per event_type, restated as an
+    oracle-checkable acceptance test: exact discrete quantiles
+    (hash-matched — percentile_disc returns an actual data value, so
+    no cross-engine float interpolation) plus booleans asserting this
+    engine's approx_percentile sketch sits inside a ±2%-rank window of
+    the exact distribution. DuckDB asserts the same property of its
+    own t-digest sketch."""
     ev = _t(spark, sf_dir, "events")
-    pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    return ev.groupBy("event_type").agg(
-        F.element_at(pct, 1).alias("p50"),
-        F.element_at(pct, 2).alias("p90"),
-        F.element_at(pct, 3).alias("p99"),
+    ev.createOrReplaceTempView("__approx_pct_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+               approx_percentile(value, 0.5, 10000)
+                 BETWEEN percentile_disc(0.48) WITHIN GROUP (ORDER BY value)
+                     AND percentile_disc(0.52) WITHIN GROUP (ORDER BY value)
+                 AS p50_ok,
+               approx_percentile(value, 0.9, 10000)
+                 BETWEEN percentile_disc(0.88) WITHIN GROUP (ORDER BY value)
+                     AND percentile_disc(0.92) WITHIN GROUP (ORDER BY value)
+                 AS p90_ok,
+               approx_percentile(value, 0.99, 10000)
+                 BETWEEN percentile_disc(0.97) WITHIN GROUP (ORDER BY value)
+                     AND percentile_disc(1.0)  WITHIN GROUP (ORDER BY value)
+                 AS p99_ok
+        FROM __approx_pct_events GROUP BY event_type
+        """
     )
 
 

@@ -14,10 +14,7 @@ from tests.conftest import SF_DIR
 
 
 def test_approx_distinct_within_tolerance(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["approx_distinct_users"](spark, SF_DIR).collect()
-    }
+    rows = QUERIES["approx_distinct_users"](spark, SF_DIR).collect()
     ev = load_table(spark, SF_DIR, "events")
     exact = {
         r["event_type"]: r["exact"]
@@ -25,13 +22,18 @@ def test_approx_distinct_within_tolerance(spark):
         .agg(F.count_distinct("user_id").alias("exact"))
         .collect()
     }
-    for et, ex in exact.items():
-        assert abs(approx[et] - ex) <= max(2, 0.1 * ex), (et, approx[et], ex)
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["n_exact_users"] == exact[r["event_type"]]
+        assert r["approx_ok"] is True, r
 
 
 def test_approx_percentiles_ordered(spark):
-    for r in QUERIES["approx_value_percentiles"](spark, SF_DIR).collect():
+    rows = QUERIES["approx_value_percentiles"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
         assert r["p50"] <= r["p90"] <= r["p99"]
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
 
 
 def test_language_id_tie_break_deterministic(spark):

@@ -140,7 +140,13 @@ def test_lsh_knn_single_corpus_scan(spark):
     # all n_tables bucket ids come from ONE projected array + posexplode;
     # a per-table union would scan the corpus n_tables (16) times.
     # 2 scans total: one for the corpus side, one for the query side.
-    df = q(spark, "embedding_lsh_topk")
+    # (built directly — the catalog's embedding_lsh_topk entry now also
+    # runs the exact tier for its recall acceptance output)
+    from mapreducewordoccurences_spark.functions.similarity import lsh_knn
+    from mapreducewordoccurences_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = lsh_knn(emb, emb.where("vec_id < 10"), k=5, dim=64)
     assert count_scans(df) == 2
     assert not has_python_eval(df)
 
