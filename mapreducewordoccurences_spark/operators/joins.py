@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,6 +41,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance=None,
 ) -> DataFrame:
     """As-of (nearest-timestamp) join, Spark-first.
 
@@ -61,6 +62,14 @@ def asof_join(
 
     Ties: a right row at exactly ``left_ts`` matches (inclusive), as in
     pandas ``merge_asof`` and DuckDB ASOF JOIN.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): a maximum allowed
+    time gap — a literal in the timestamp column's own difference
+    units (an int for numeric ts, a ``F.expr("INTERVAL 1 HOUR")``
+    Column for timestamp ts). Matches farther than ``tolerance`` from
+    the left row are nulled out, exactly as if no match existed. This
+    is a post-window projection — the plan (one shuffle, one sort) is
+    unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -103,6 +112,15 @@ def asof_join(
         match = F.first("__rrow", ignorenulls=True).over(w)
 
     matched = unioned.withColumn("__match", match).where(F.col("__is_left") == 1)
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        if direction == "backward":
+            gap = F.col("__ts") - F.col(f"__match.{right_ts}")
+        else:
+            gap = F.col(f"__match.{right_ts}") - F.col("__ts")
+        matched = matched.withColumn(
+            "__match", F.when(gap <= tol, F.col("__match"))
+        )
     left_names = set(left.columns)
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     for c in payload_cols:
