@@ -3653,3 +3653,41 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return resample_with_gap_fill(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "dedup_bloom_incremental",
+    # The Bloom tier is a shuffle-reducer with NO effect on the answer
+    # (no false negatives + exact verification of the maybe slice), so
+    # the oracle is the plain exact incremental anti-join — a full
+    # value-hash match, not an acceptance bound.
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ), newb AS (
+      SELECT fingerprint, min(doc_id) AS doc_id
+      FROM fp WHERE doc_id % 5 = 1 GROUP BY fingerprint
+    ), corpus AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 1
+    )
+    SELECT n.doc_id, n.fingerprint
+    FROM newb n LEFT JOIN corpus c USING (fingerprint)
+    WHERE c.fingerprint IS NULL
+    """,
+)
+def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered incremental dedup (dedup/bloom.py): docs with
+    doc_id % 5 = 1 play the nightly batch, the rest the historical
+    corpus. The corpus keys are folded into a bitmap DataFrame (pure
+    bit_or aggregation); batch rows the filter rules out skip the
+    corpus anti-join entirely; the maybe slice is exact-verified, so
+    the output is bit-identical to the plain anti-join the oracle runs."""
+    from mapreducewordoccurences_spark.dedup.bloom import bloom_incremental_new_unique
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_incremental_new_unique(
+        docs.where(F.col("doc_id") % 5 == 1),
+        docs.where(F.col("doc_id") % 5 != 1),
+    )
