@@ -115,3 +115,78 @@ def key_skew_stats(
             "ratio_to_mean"
         ),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    min_share: float,
+    count_col: str = "cnt",
+) -> DataFrame:
+    """EXACT heavy hitters (keys with ≥ ``min_share`` of all rows) via
+    the two-phase candidate-generation / exact-recount pattern.
+
+    Why not a plain groupBy+HAVING: at 100 TB the key cardinality can
+    be billions (URLs, user ids) — a full groupBy shuffles state for
+    EVERY distinct key to compute an answer that keeps almost none of
+    them. Here the full key set never shuffles:
+
+    Phase 1 (map-only): each input partition runs a bounded
+    Space-Saving summary (capacity c = ceil(2/min_share) entries —
+    constant memory regardless of partition cardinality) over its own
+    rows and emits its surviving candidate keys. Guarantees: a key
+    with global share ≥ s has local share ≥ s in at least one
+    partition (weighted pigeonhole); Space-Saving counters never
+    under-count, its min counter is ≤ n_p/c, and an absent key's true
+    local count is ≤ that min — so with c ≥ 2/s every key of local
+    share ≥ s > 1/c is still in the summary at partition end. The
+    candidate set is therefore a provable superset of the true heavy
+    hitters; only it (tiny) ever shuffles.
+
+    Phase 2 (exact verify): semi-join the input against the
+    broadcast candidate set, exact-count just those keys, and keep
+    those meeting the global threshold — false candidates from phase 1
+    are discarded, making the output exactly equal to the full
+    groupBy+HAVING answer. The threshold row count comes from a
+    single-row total broadcast onto the counts (no driver round-trip).
+    """
+    if not 0 < min_share < 1:
+        raise ValueError(f"min_share must be in (0,1), got {min_share}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    capacity = int(2.0 / min_share) + 1
+    key_struct = df.select(*keys)
+    key_schema = key_struct.schema
+
+    def ss_partition(batches):
+        import pandas as pd
+
+        counters: dict[tuple, int] = {}
+        for pdf in batches:
+            for tup, n in pdf.groupby(keys, dropna=False, sort=False).size().items():
+                if not isinstance(tup, tuple):
+                    tup = (tup,)
+                if tup in counters:
+                    counters[tup] += int(n)
+                elif len(counters) < capacity:
+                    counters[tup] = int(n)
+                else:
+                    # Space-Saving eviction: the new key inherits the
+                    # min counter (over-estimate, never under-estimate)
+                    evict = min(counters, key=counters.get)
+                    floor = counters.pop(evict)
+                    counters[tup] = floor + int(n)
+        if counters:
+            yield pd.DataFrame(list(counters.keys()), columns=keys)
+
+    candidates = df.select(*keys).mapInPandas(ss_partition, schema=key_schema).distinct()
+    totals = df.agg(F.count(F.lit(1)).alias("__total"))
+    exact = (
+        df.join(F.broadcast(candidates), on=keys, how="left_semi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+    return (
+        exact.join(F.broadcast(totals), how="cross")
+        .where(F.col(count_col) >= F.ceil(F.col("__total") * F.lit(float(min_share))))
+        .drop("__total")
+    )

@@ -3691,3 +3691,23 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 5 == 1),
         docs.where(F.col("doc_id") % 5 != 1),
     )
+
+
+@register(
+    "heavy_hitter_users",
+    # exact output (phase-2 recount discards false candidates), so a
+    # plain HAVING oracle hash-matches
+    """
+    SELECT user_id, count(*) AS cnt
+    FROM events GROUP BY user_id
+    HAVING count(*) >= (SELECT ceil(count(*) * 0.0005) FROM events)
+    """,
+)
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (users with ≥0.05% of all events) via the
+    two-phase Space-Saving candidate / exact-recount pattern
+    (operators/skew.py heavy_hitters) — the full key set never
+    shuffles, only the bounded candidate superset does."""
+    from mapreducewordoccurences_spark.operators.skew import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), ["user_id"], min_share=0.0005)

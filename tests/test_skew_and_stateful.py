@@ -168,3 +168,42 @@ class TestKeySkewStats:
         # top-N must compile to TakeOrderedAndProject, not a global sort
         assert "TakeOrderedAndProject" in plan
         assert "Window" not in plan
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    """Candidate+verify output must equal the plain groupBy+HAVING
+    answer, including under a tiny Space-Saving capacity (many
+    partitions, aggressive eviction)."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.operators.skew import heavy_hitters
+
+    # zipf-ish synthetic: key k appears ~2000/k times; share threshold
+    # 2% keeps roughly the first handful of keys
+    df = (
+        spark.range(0, 20000)
+        .select((F.floor(2000 / (F.col("id") % 2000 + 1))).alias("k"))
+        .repartition(16)
+    )
+    got = {(r.k, r.cnt) for r in heavy_hitters(df, ["k"], min_share=0.02).collect()}
+    totals = df.count()
+    import math
+
+    want = {
+        (r.k, r.cnt)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= math.ceil(totals * 0.02))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_heavy_hitters_rejects_bad_share(spark):
+    import pytest
+
+    from mapreducewordoccurences_spark.operators.skew import heavy_hitters
+
+    with pytest.raises(ValueError):
+        heavy_hitters(spark.range(1), ["id"], min_share=0.0)
