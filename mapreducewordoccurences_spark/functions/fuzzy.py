@@ -1,0 +1,88 @@
+"""Blocked fuzzy string matching (record linkage / entity resolution).
+
+The scale problem: fuzzy-matching a probe set against a catalog is
+O(|probes|·|catalog|) string-distance calls if done naively — a cross
+join, unrunnable at 100 TB. The standard fix is *blocking*: only pairs
+agreeing on a cheap blocking key (here: a character prefix, plus a
+length band) are compared. The blocking join is a plain equi-join —
+Catalyst/AQE pick broadcast vs shuffle, and a hot block behaves like
+any other hot join key (salt it or rely on AQE skew splitting).
+Distance (`levenshtein`, a JVM built-in — no Python in the data path)
+runs only inside blocks.
+
+Recall contract: a candidate pair is found iff the two strings agree
+on the first ``block_prefix`` chars and differ in length by at most
+``len_band``. Any edit confined to positions after the prefix keeps
+the pair in the same block; ``len_band >= max_dist`` guarantees no
+true match is lost to the length filter (an edit script of d ops
+changes length by at most d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_fuzzy_join(
+    probes: DataFrame,
+    catalog: DataFrame,
+    probe_col: str,
+    cand_col: str,
+    max_dist: int = 2,
+    block_prefix: int = 4,
+    len_band: int | None = None,
+) -> DataFrame:
+    """All (probe, candidate) pairs within ``max_dist`` edits that
+    share a ``block_prefix``-char prefix. Adds a ``dist`` column;
+    keeps every column of both inputs (names must not collide).
+    """
+    if len_band is None:
+        len_band = max_dist
+    p = probes.withColumn("__pblock", F.substring(F.col(probe_col), 1, block_prefix))
+    c = catalog.withColumn("__cblock", F.substring(F.col(cand_col), 1, block_prefix))
+    joined = p.join(
+        c,
+        (F.col("__pblock") == F.col("__cblock"))
+        & (
+            F.abs(F.length(F.col(probe_col)) - F.length(F.col(cand_col)))
+            <= F.lit(len_band)
+        ),
+    )
+    return (
+        joined.withColumn(
+            "dist", F.levenshtein(F.col(probe_col), F.col(cand_col))
+        )
+        .where(F.col("dist") <= F.lit(max_dist))
+        .drop("__pblock", "__cblock")
+    )
+
+
+def best_fuzzy_match(
+    probes: DataFrame,
+    catalog: DataFrame,
+    probe_col: str,
+    cand_col: str,
+    probe_id: str,
+    cand_id: str,
+    max_dist: int = 2,
+    block_prefix: int = 4,
+) -> DataFrame:
+    """One row per matched probe: its closest catalog entry
+    (ties broken by smallest ``cand_id`` — a total, engine-portable
+    order). Probes with no candidate within ``max_dist`` are absent.
+
+    The per-probe argmin is a WindowGroupLimit-prunable rank-1 window
+    (same pattern as operators/windows.py top_k_per_group): partial
+    top-1 happens map-side before the shuffle, so the exchange carries
+    at most one row per (probe, input-partition).
+    """
+    pairs = blocked_fuzzy_join(
+        probes, catalog, probe_col, cand_col, max_dist, block_prefix
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("dist").asc(), F.col(cand_id).asc())
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

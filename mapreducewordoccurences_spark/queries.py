@@ -3711,3 +3711,66 @@ def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.operators.skew import heavy_hitters
 
     return heavy_hitters(_t(spark, sf_dir, "events"), ["user_id"], min_share=0.0005)
+
+
+@register(
+    "fuzzy_match_part_names",
+    # probes are deterministically typo'd part names (one char deleted
+    # past the blocking prefix); classic unit-cost levenshtein is
+    # identical in both engines, and the rank-1 pick is totally
+    # ordered by (dist, candidate key)
+    """
+    WITH probes AS (
+      SELECT p_partkey AS probe_key,
+             concat(substr(p_name, 1, CAST(pos AS INT) - 1),
+                    substr(p_name, CAST(pos AS INT) + 1)) AS probe_name
+      FROM (SELECT p_partkey, p_name,
+                   5 + p_partkey % (length(p_name) - 5) AS pos
+            FROM part WHERE p_partkey % 29 = 3)
+    ), cand AS (
+      SELECT pr.probe_key, pr.probe_name, p.p_partkey, p.p_name,
+             levenshtein(pr.probe_name, p.p_name) AS dist
+      FROM probes pr JOIN part p
+        ON substr(pr.probe_name, 1, 4) = substr(p.p_name, 1, 4)
+       AND abs(length(pr.probe_name) - length(p.p_name)) <= 2
+      WHERE levenshtein(pr.probe_name, p.p_name) <= 2
+    )
+    SELECT probe_key, probe_name,
+           p_partkey AS match_key, p_name AS match_name, dist
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_key ORDER BY dist, p_partkey) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+)
+def q_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (functions/fuzzy.py): probes are part
+    names with one char deleted past position 4; candidates share a
+    4-char prefix block and a ±2 length band; levenshtein <= 2 inside
+    blocks only; rank-1 per probe by (dist, key). The blocking
+    equi-join is the whole scale story — no cross join exists in the
+    plan."""
+    from mapreducewordoccurences_spark.functions.fuzzy import best_fuzzy_match
+
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = parts.where(F.col("p_partkey") % 29 == 3).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.expr(
+            "concat(substring(p_name, 1, CAST(5 + p_partkey % (length(p_name) - 5) AS INT) - 1),"
+            " substring(p_name, CAST(5 + p_partkey % (length(p_name) - 5) AS INT) + 1))"
+        ).alias("probe_name"),
+    )
+    return best_fuzzy_match(
+        probes,
+        parts,
+        probe_col="probe_name",
+        cand_col="p_name",
+        probe_id="probe_key",
+        cand_id="p_partkey",
+    ).select(
+        "probe_key",
+        "probe_name",
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_name").alias("match_name"),
+        "dist",
+    )
