@@ -3774,3 +3774,51 @@ def q_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("match_name"),
         "dist",
     )
+
+
+@register(
+    "asof_forward_next_purchase",
+    # forward as-of with a 7-day tolerance: each signup's NEXT purchase
+    # (inclusive), nulled when farther than the tolerance. The oracle
+    # states it as a correlated min() — DuckDB's ASOF JOIN could also
+    # express it, but the subquery form pins the semantics explicitly.
+    """
+    WITH s AS (SELECT * FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.event_id, s.user_id,
+           CASE WHEN nxt IS NOT NULL AND nxt - epoch_us(s.ts) <= 604800000000
+                THEN (nxt - epoch_us(s.ts)) // 1000000 END AS secs_to_purchase
+    FROM (SELECT s.*,
+                 (SELECT min(epoch_us(p.ts)) FROM p
+                  WHERE p.user_id = s.user_id AND epoch_us(p.ts) >= epoch_us(s.ts))
+                   AS nxt
+          FROM s) s
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (operators/joins.py asof_join
+    direction='forward'): each signup matched to the user's next
+    purchase at-or-after it, nulled beyond 7 days. Event time is
+    pre-normalized to epoch-micros so the tolerance is a plain int —
+    the same single-shuffle union+window plan as the backward query."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", ts_micros(ev, "ts").alias("ts_us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", ts_micros(ev, "ts").alias("ts_us")
+    )
+    joined = asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=[],
+        direction="forward",
+        tolerance=604_800_000_000,  # 7 days in micros
+    )
+    gap = F.floor(
+        (F.col("ts_us_right") - F.col("ts_us")) / F.lit(1_000_000)
+    ).cast("long")
+    return joined.select("event_id", "user_id", gap.alias("secs_to_purchase"))
