@@ -3822,3 +3822,66 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_us_right") - F.col("ts_us")) / F.lit(1_000_000)
     ).cast("long")
     return joined.select("event_id", "user_id", gap.alias("secs_to_purchase"))
+
+
+@register(
+    "kmeans_cluster_profile",
+    # exact DuckDB replay of the integer-quantized Lloyd protocol
+    # (functions/clustering.py): trunc(v*2^20)+2^21 coords, integer
+    # squared distances, (dist, cluster_id) argmin, truncating-div
+    # centroid means — every number is an exact integer, so even this
+    # iterative trainer hash-matches
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576) AS BIGINT) + 2097152)
+               AS u
+      FROM embeddings
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, u AS c
+      FROM v ORDER BY vec_id LIMIT 8
+    ), d1 AS (
+      SELECT vec_id, cluster_id, sum((ue - ce) * (ue - ce)) AS d
+      FROM (SELECT vec_id, cluster_id, unnest(v.u) AS ue, unnest(s.c) AS ce
+            FROM v CROSS JOIN seeds s)
+      GROUP BY vec_id, cluster_id
+    ), a1 AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+        FROM d1) WHERE rn = 1
+    ), upd AS (
+      SELECT cluster_id, pos, sum(val) // count(*) AS m
+      FROM (SELECT a1.cluster_id, unnest(v.u) AS val,
+                   unnest(range(len(v.u))) AS pos
+            FROM a1 JOIN v USING (vec_id))
+      GROUP BY cluster_id, pos
+    ), c2 AS (
+      SELECT cluster_id, list(m ORDER BY pos) AS c FROM upd GROUP BY cluster_id
+    ), d2 AS (
+      SELECT vec_id, cluster_id, sum((ue - ce) * (ue - ce)) AS d
+      FROM (SELECT vec_id, cluster_id, unnest(v.u) AS ue, unnest(c2.c) AS ce
+            FROM v CROSS JOIN c2)
+      GROUP BY vec_id, cluster_id
+    ), a2 AS (
+      SELECT vec_id, cluster_id, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT cluster_id, count(*) AS n_members, sum(d) AS sum_sq_dist
+    FROM a2 GROUP BY cluster_id
+    """,
+)
+def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means refinement (k=8, 2 assignment passes) over
+    the embeddings table — functions/clustering.py. Centroids broadcast
+    each pass; the update shuffle is bounded by k x dim x partitions, not
+    by row count."""
+    from mapreducewordoccurences_spark.functions.clustering import (
+        kmeans_cluster_profile,
+    )
+
+    return kmeans_cluster_profile(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, iters=2
+    )
