@@ -3885,3 +3885,42 @@ def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_profile(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, iters=2
     )
+
+
+@register(
+    "variant_props_stats",
+    # oracle uses plain JSON extraction — VARIANT is an encoding
+    # choice, not a semantics change, so the numbers must agree
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: props is
+    parsed ONCE into the binary variant encoding (the at-scale pattern:
+    parse at ingest, store VARIANT, typed field access afterwards needs
+    no string re-parsing), then fields come out via variant_get with
+    target types; try_variant_get probes an absent path without error."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even_k"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias(
+            "n_missing_path"
+        ),
+    )
