@@ -128,3 +128,54 @@ def resample_with_interpolation(
         / (next_b - prev_b).cast("double")
     )
     return base.select(key_col, "bucket", "v", interp.alias("interp"))
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    ewma_1 = v_1;  ewma_i = alpha*v_i + (1-alpha)*ewma_{i-1}
+    over the key's events in (ts, tiebreak) order. Returns
+    (key, n_obs, ewma_value).
+
+    Determinism: the recurrence is a SEQUENTIAL fold over a totally
+    ordered array — every engine that folds left-to-right performs the
+    identical IEEE-double operation sequence, so results are
+    bit-identical (unlike a SUM of pow-weighted terms, which is both
+    order-nondeterministic and underflow-prone past ~1000 steps).
+
+    Scale: one shuffle (groupBy key); per-key state is that key's
+    observation array — the batch shape for bounded histories (a
+    year of hourly points = 9k doubles/key). For unbounded streams the
+    same recurrence runs as O(1)-state streaming
+    (streaming/stateful.py), which is the 100 TB/append path.
+    """
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(order_tiebreak).alias("tb"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    a = F.lit(float(alpha))
+    ewma = F.aggregate(
+        F.expr("slice(__obs, 2, size(__obs) - 1)"),
+        F.element_at(F.col("__obs"), 1)["v"],
+        lambda acc, s: a * s["v"] + (F.lit(1.0) - a) * acc,
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(arr.alias("__obs"))
+        .select(
+            key_col,
+            F.size("__obs").cast("bigint").alias("n_obs"),
+            ewma.alias("ewma_value"),
+        )
+    )

@@ -3924,3 +3924,32 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing_path"
         ),
     )
+
+
+@register(
+    "ewma_user_value",
+    # identical left-to-right IEEE-double fold in both engines (DuckDB
+    # list_reduce seeds with the first element, exactly like the Spark
+    # aggregate over slice(arr, 2, ...) seeded with element 1), so the
+    # doubles are bit-identical — no tolerance needed
+    """
+    SELECT user_id,
+           CAST(len(obs) AS BIGINT) AS n_obs,
+           list_reduce(obs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma_value
+    FROM (SELECT user_id,
+                 list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id) AS obs
+          FROM events GROUP BY user_id)
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (alpha=0.5) of each user's event values in time
+    order (operators/timeseries.py ewma_last): a sequential fold over
+    a totally ordered per-key array — the only formulation that is
+    both order-deterministic and underflow-free."""
+    from mapreducewordoccurences_spark.operators.timeseries import ewma_last
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id", ts_micros(ev, "ts").alias("ts_us"), "event_id", "value"
+    )
+    return ewma_last(obs, "user_id", "ts_us", "value", "event_id", alpha=0.5)
