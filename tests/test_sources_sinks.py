@@ -204,3 +204,55 @@ class TestTrainingShards:
 
         for f in g.glob(f"{p}/part-*"):
             assert spark.read.parquet(f).count() <= 20
+
+
+def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
+    """A 2-D box predicate must intersect strictly fewer files'
+    min/max bounding boxes under the Z-order layout than under a
+    random layout — the stats-pruning win the writer exists for."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreducewordoccurences_spark.sources.sinks import write_zorder
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder(orders, zpath, ["o_custkey", "o_totalprice"], num_files=16)
+    orders.repartition(16).write.mode("overwrite").parquet(rpath)
+
+    def boxes(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            sch = md.schema.to_arrow_schema()
+            idx = {sch.field(i).name: i for i in range(len(sch.names))}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                ck = g.column(idx["o_custkey"]).statistics
+                tp = g.column(idx["o_totalprice"]).statistics
+                out.append((ck.min, ck.max, tp.min, tp.max))
+        return out
+
+    # box predicate: lowest quartile of both dimensions
+    import duckdb
+
+    con = duckdb.connect()
+    cmax, tmax = con.sql(
+        f"""SELECT quantile_cont(o_custkey, 0.25),
+                   quantile_cont(o_totalprice, 0.25)
+            FROM '{SF_DIR}/orders.parquet'"""
+    ).fetchone()
+    con.close()
+
+    def hits(bs):
+        return sum(1 for clo, chi, tlo, thi in bs if clo <= cmax and tlo <= tmax)
+
+    zb, rb = boxes(zpath), boxes(rpath)
+    assert len(zb) >= 8 and len(rb) >= 8
+    assert hits(zb) < hits(rb), (hits(zb), len(zb), hits(rb), len(rb))
+    # row counts preserved
+    assert spark.read.parquet(zpath).count() == orders.count()
