@@ -3953,3 +3953,109 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", ts_micros(ev, "ts").alias("ts_us"), "event_id", "value"
     )
     return ewma_last(obs, "user_id", "ts_us", "value", "event_id", alpha=0.5)
+
+
+@register(
+    "funnel_signup_view_purchase",
+    # ordered funnel: each stage's timestamp must be >= the previous
+    # stage's; all event-time math on epoch-micros ints
+    """
+    WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t1
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+         v AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+               FROM events e JOIN s USING (user_id)
+               WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s.t1
+               GROUP BY 1),
+         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t2
+               GROUP BY 1)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_view_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_view,
+           (SELECT count(*) FROM p) / (SELECT count(*) FROM s) AS conversion
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> purchase: each stage
+    is a groupBy-min over events gated by the previous stage's time,
+    joined on user_id — three shuffles sharing one key, so a real
+    cluster co-partitions them (and bucketed event tables would make
+    the joins exchange-free). The single int/int divide is the
+    deterministic-ratio convention used across the catalog."""
+    ev = _t(spark, sf_dir, "events")
+    ev_us = ev.select(
+        "user_id", "event_type", ts_micros(ev, "ts").alias("ts_us")
+    )
+    s = (
+        ev_us.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    v = (
+        ev_us.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("ts_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev_us.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts_us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_view_after_signup",
+        "n_purchase_after_view",
+        (F.col("n_purchase_after_view") / F.col("n_signup")).alias("conversion"),
+    )
+
+
+@register(
+    "retention_cohorts_weekly",
+    # calendar-free cohorting: week buckets are epoch_us div one week
+    # of micros — pure integer arithmetic both engines share
+    """
+    WITH su AS (SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_wk
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+                 FROM events)
+    SELECT cohort_wk, wk - cohort_wk AS week_offset,
+           count(*) AS n_active_users
+    FROM act JOIN su USING (user_id)
+    WHERE wk >= cohort_wk
+    GROUP BY cohort_wk, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by signup week, counted
+    as active in each subsequent week they produced any event. The
+    distinct + join + agg all share the user_id key."""
+    ev = _t(spark, sf_dir, "events")
+    # integer div, not float division + cast — a double quotient can
+    # round up across a bucket boundary
+    ev_wk = ev.select(
+        "user_id", "event_type", ts_micros(ev, "ts").alias("__ts_us")
+    ).select(
+        "user_id", "event_type", F.expr("__ts_us div 604800000000").alias("wk")
+    )
+    su = (
+        ev_wk.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    act = ev_wk.select("user_id", "wk").distinct()
+    return (
+        act.join(su, "user_id")
+        .where(F.col("wk") >= F.col("cohort_wk"))
+        .groupBy(F.col("cohort_wk"), (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
