@@ -4059,3 +4059,93 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cohort_wk"), (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "merge_upsert_orders",
+    # synthetic CDC batch derived deterministically from orders:
+    # key%7=0 rows get two versioned updates (v2 wins), key%11=0 rows
+    # are tombstoned, and shifted keys insert as new rows
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice, 1 AS v, FALSE AS del
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 2000, 2, FALSE
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'DEL', o_totalprice, 1, TRUE
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, 'NEW', 42.0, 1, FALSE
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), latest AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, del
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY o_orderkey ORDER BY v DESC) AS rn FROM upd)
+      WHERE rn = 1
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM latest WHERE NOT del
+    """,
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames (operators/merge.py):
+    versioned updates collapse to latest-per-key, tombstones delete,
+    new keys insert, untouched rows carry over via one pk-keyed
+    anti-join."""
+    from mapreducewordoccurences_spark.operators.merge import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = (
+        orders.where(k % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U1").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            F.lit(1).alias("v"),
+            F.lit(False).alias("del"),
+        )
+        .unionByName(
+            orders.where(k % 7 == 0).select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit("U2").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 2000).alias("o_totalprice"),
+                F.lit(2).alias("v"),
+                F.lit(False).alias("del"),
+            )
+        )
+        .unionByName(
+            orders.where((k % 11 == 0) & (k % 7 != 0)).select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit("DEL").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+                F.lit(1).alias("v"),
+                F.lit(True).alias("del"),
+            )
+        )
+        .unionByName(
+            orders.where(k % 13 == 0).select(
+                (k + 1_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("NEW").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+                F.lit(1).alias("v"),
+                F.lit(False).alias("del"),
+            )
+        )
+    )
+    return merge_upsert(
+        orders, upd, keys=["o_orderkey"], version_col="v", delete_col="del"
+    )
