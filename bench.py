@@ -56,6 +56,17 @@ EXTRA = [
     "embedding_quantized_topk",
     "corpus_prep_pipeline",
     "key_skew_event_users",
+    # round-4 additions
+    "dedup_bloom_incremental",
+    "heavy_hitter_users",
+    "fuzzy_match_part_names",
+    "asof_forward_next_purchase",
+    "kmeans_cluster_profile",
+    "variant_props_stats",
+    "ewma_user_value",
+    "funnel_signup_view_purchase",
+    "retention_cohorts_weekly",
+    "merge_upsert_orders",
 ]
 
 

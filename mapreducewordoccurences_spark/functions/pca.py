@@ -1,0 +1,100 @@
+"""PCA over an embedding column — whitening/compression for the
+embedding stages of a training-data pipeline.
+
+The scale split is the whole design: the only pass over the (huge)
+row set computes the d×d gram matrix; everything eigen happens on the
+driver against a d² object (64-dim ⇒ 32 KB — bounded by dimension,
+never by rows), and the projection is a second distributed map with
+the components broadcast. This is exactly how distributed PCA is done
+at 100 TB: no row-space matrix ever materializes.
+
+Determinism: the gram entries are DECIMAL-exact sums of per-row
+products (each product is one IEEE-double op — identical on every
+engine; the decimal sum is order-free), so the matrix — and the
+oracle hash — is bit-stable under any partitioning. The eigensolve
+runs on those exact values.
+
+Shuffle accounting for gram_matrix: the d² explode happens map-side
+and feeds a partial aggregation, so the exchange carries at most
+d²·partitions rows (4096·P at d=64) regardless of row count. CPU is
+~d²·N multiply-adds — the same arithmetic an einsum would do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(i, j, g): the exact gram matrix Σ_rows v_i·v_j as
+    DECIMAL(38,12)-summed doubles (scale 12 keeps every
+    unscaled sum below 2^53, so the final decimal-to-double conversion
+    is a single exact-input rounding in both engines; scale 20 made
+    DuckDB round twice and drift 1 ulp), upper triangle included via full
+    d×d (simpler consumers; the matrix is tiny)."""
+    pairs = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "vi"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        "i",
+        F.posexplode("__v").alias("j", "vj"),
+        F.col("vi"),
+    )
+    prod = (F.col("vi") * F.col("vj")).cast("decimal(38,12)")
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(prod).cast("double").alias("g"))
+    )
+
+
+def pca_components(df: DataFrame, vec_col: str = "embedding", k: int = 8):
+    """Top-k principal directions (rows of a k×d numpy array) from the
+    uncentered gram matrix. Driver-side numpy eigh on the d×d collect —
+    legitimate because the object is dimension-bounded, not
+    row-bounded. Deterministic: exact gram + LAPACK eigh + a sign
+    convention (largest-|component| coordinate made positive)."""
+    import numpy as np
+
+    rows = gram_matrix(df, vec_col).collect()
+    d = max(r.i for r in rows) + 1
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r.i][r.j] = r.g
+    vals, vecs = np.linalg.eigh(g)  # ascending
+    comps = vecs[:, ::-1][:, :k].T  # k×d, leading first
+    # sign convention so the basis is reproducible across LAPACK builds
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c *= -1.0
+    return comps
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """(id, projection: array<double> length k): rows projected onto
+    the top-k principal directions. The components ship to executors
+    as literals (k·d doubles); projection is a map-only pass of
+    built-in fold expressions — no shuffle at all."""
+    comps = pca_components(df, vec_col, k)
+    vec = F.col(vec_col).cast("array<double>")
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in comp]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for comp in comps
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias("projection"))

@@ -4149,3 +4149,29 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         orders, upd, keys=["o_orderkey"], version_col="v", delete_col="del"
     )
+
+
+@register(
+    "gram_matrix_embeddings",
+    # the one distributed pass of PCA: exact decimal-summed gram
+    # entries (per-row double products are identical IEEE ops in both
+    # engines; the decimal sum is order-free; scale 12 keeps the
+    # unscaled sum under 2^53 so decimal->double converts exactly)
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         a AS (SELECT vec_id, unnest(v) AS vi, unnest(range(len(v))) AS i FROM e),
+         b AS (SELECT vec_id, unnest(v) AS vj, unnest(range(len(v))) AS j FROM e)
+    SELECT i, j, CAST(sum(CAST(a.vi * b.vj AS DECIMAL(38,12))) AS DOUBLE) AS g
+    FROM a JOIN b USING (vec_id)
+    GROUP BY i, j
+    """,
+)
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA (functions/pca.py): d x d gram matrix
+    in one pass; the exchange carries at most d^2 x partitions partially
+    aggregated rows, never the row set."""
+    from mapreducewordoccurences_spark.functions.pca import gram_matrix
+
+    return gram_matrix(_t(spark, sf_dir, "embeddings"), "embedding")

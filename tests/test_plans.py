@@ -267,6 +267,10 @@ PYTHON_ALLOWED = {
     "udtf_sentence_stats",
     "media_image_dims",
     "media_frame_sample",
+    # bounded per-partition Space-Saving summary (constant memory,
+    # vectorized pandas value_counts) — the candidate phase of the
+    # exact heavy-hitter pattern is Python by design
+    "heavy_hitter_users",
 }
 
 
