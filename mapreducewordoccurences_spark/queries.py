@@ -4175,3 +4175,33 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.functions.pca import gram_matrix
 
     return gram_matrix(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+@register(
+    "selection_quantiles_order_price",
+    # same numbers as a sort-based percentile_disc — the point is the
+    # METHOD: iterative histogram narrowing with only scalars on the
+    # driver, exact at any scale
+    """
+    SELECT quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.9) AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99
+    FROM orders
+    """,
+)
+def q_selection_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact quantiles by distributed selection
+    (operators/selection.py): per round one full scan builds a
+    1024-bucket histogram of the candidate range (B rows to the
+    driver, never data) and descends into the target bucket —
+    the 100 TB replacement for single-reducer exact percentiles."""
+    from mapreducewordoccurences_spark.operators.selection import exact_quantile_disc
+
+    orders = _t(spark, sf_dir, "orders")
+    vals = {
+        name: exact_quantile_disc(orders, "o_totalprice", qq)
+        for name, qq in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    }
+    return spark.createDataFrame(
+        [(vals["p50"], vals["p90"], vals["p99"])], ["p50", "p90", "p99"]
+    )
