@@ -4205,3 +4205,56 @@ def q_selection_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(vals["p50"], vals["p90"], vals["p99"])], ["p50", "p90", "p99"]
     )
+
+
+@register(
+    "dq_expectations_orders",
+    # the full gate: row-local checks fold into one scan; referential
+    # integrity is an anti-join count against broadcast customer keys
+    """
+    WITH base AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_o_custkey,
+             CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS range_o_totalprice,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS dupes_o_orderkey,
+             CAST(sum(CASE WHEN NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS regex_o_orderstatus
+      FROM orders
+    ), fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphans_o_custkey
+      FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT * FROM base, fk
+    """,
+)
+def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders (operators/expectations.py): all
+    row-local expectations in one aggregation pass + a referential-
+    integrity anti-join against customer. All-zero counts = promote
+    the snapshot."""
+    from mapreducewordoccurences_spark.operators.expectations import (
+        expect_in_range,
+        expect_not_null,
+        expect_regex,
+        expect_report,
+        expect_unique,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return expect_report(
+        orders,
+        [
+            expect_not_null("o_custkey"),
+            expect_in_range("o_totalprice", lo=0, hi=1_000_000),
+            expect_unique("o_orderkey"),
+            expect_regex("o_orderstatus", "^[A-Z]$"),
+        ],
+        foreign_keys=[("o_custkey", cust, "c_custkey")],
+    )
