@@ -67,6 +67,9 @@ EXTRA = [
     "funnel_signup_view_purchase",
     "retention_cohorts_weekly",
     "merge_upsert_orders",
+    "gram_matrix_embeddings",
+    "selection_quantiles_order_price",
+    "dq_expectations_orders",
 ]
 
 

@@ -4153,19 +4153,24 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gram_matrix_embeddings",
-    # the one distributed pass of PCA: exact decimal-summed gram
-    # entries (per-row double products are identical IEEE ops in both
-    # engines; the decimal sum is order-free; scale 12 keeps the
-    # unscaled sum under 2^53 so decimal->double converts exactly)
+    # the one distributed pass of PCA: fixed-point integer sums of
+    # per-row double products (trunc at 1e-12, BIGINT sum, one final
+    # division) — bit-identical in both engines; trunc() is explicit
+    # because DuckDB's double->int cast rounds where Spark truncates
     """
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
          a AS (SELECT vec_id, unnest(v) AS vi, unnest(range(len(v))) AS i FROM e),
-         b AS (SELECT vec_id, unnest(v) AS vj, unnest(range(len(v))) AS j FROM e)
-    SELECT i, j, CAST(sum(CAST(a.vi * b.vj AS DECIMAL(38,12))) AS DOUBLE) AS g
-    FROM a JOIN b USING (vec_id)
-    GROUP BY i, j
+         b AS (SELECT vec_id, unnest(v) AS vj, unnest(range(len(v))) AS j FROM e),
+         up AS (SELECT i, j,
+                       sum(CAST(trunc(a.vi * b.vj * 1e12) AS BIGINT)) / 1e12 AS g
+                FROM a JOIN b USING (vec_id)
+                WHERE i <= j
+                GROUP BY i, j)
+    SELECT i, j, g FROM up
+    UNION ALL
+    SELECT j AS i, i AS j, g FROM up WHERE i < j
     """,
 )
 def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
