@@ -3767,6 +3767,9 @@ def q_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_col="p_name",
         probe_id="probe_key",
         cand_id="p_partkey",
+        # part names are a small vocabulary over many rows — distance
+        # per distinct name pair, not per catalog row (same output)
+        catalog_dedup=True,
     ).select(
         "probe_key",
         "probe_name",

@@ -54,3 +54,32 @@ def test_unmatched_probe_absent_and_no_cross_join(spark):
     # blocking must appear as an equi-join, never a cartesian product
     plan = best._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_catalog_dedup_path_is_equivalent(spark):
+    """Duplicate-heavy catalog: the distinct-name fast path must give
+    the identical best match (dist + min cand id) as the full path."""
+    import random
+
+    rng = random.Random(7)
+    names = ["golden widget", "golden widgets", "silver bearing", "golden bracket"]
+    cat = spark.createDataFrame(
+        [(i, names[rng.randrange(len(names))]) for i in range(200)], ["cid", "cname"]
+    )
+    probes = spark.createDataFrame(
+        [(100, "golden wdget"), (101, "silvr bearing")], ["pid", "pname"]
+    )
+    full = {
+        (r.pid, r.cid, r.dist)
+        for r in best_fuzzy_match(
+            probes, cat, "pname", "cname", probe_id="pid", cand_id="cid"
+        ).collect()
+    }
+    fast = {
+        (r.pid, r.cid, r.dist)
+        for r in best_fuzzy_match(
+            probes, cat, "pname", "cname", probe_id="pid", cand_id="cid",
+            catalog_dedup=True,
+        ).collect()
+    }
+    assert full == fast and len(full) == 2
