@@ -4266,3 +4266,157 @@ def q_dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         foreign_keys=[("o_custkey", cust, "c_custkey")],
     )
+
+
+@register(
+    "hopping_window_event_value",
+    # batch hopping windows (1h width, 15min hop): each event lands in
+    # width/hop = 4 windows via generate_series on integer micros
+    """
+    SELECT hop_start_us, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT unnest(generate_series(
+               ((epoch_us(ts) - 3600000000) // 900000000 + 1) * 900000000,
+               epoch_us(ts),
+               900000000)) AS hop_start_us,
+             value
+      FROM events)
+    WHERE hop_start_us >= 0
+    GROUP BY hop_start_us
+    """,
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode hopping windows (the exact shape of streaming
+    window(ts, '1 hour', '15 minutes'), on integer micros): each event
+    explodes into the width/hop windows containing it via a built-in
+    sequence — map-side, then one partial-aggregated shuffle keyed by
+    window start."""
+    ev = _t(spark, sf_dir, "events")
+    width, hop = 3_600_000_000, 900_000_000
+    ts_us = ts_micros(ev, "ts")
+    first_hop = ((ts_us - width) / hop + 1).cast("long") * hop
+    hops = ev.select(
+        F.explode(
+            F.sequence(first_hop, ts_us, F.lit(hop))
+        ).alias("hop_start_us"),
+        "value",
+    ).where(F.col("hop_start_us") >= 0)
+    return hops.groupBy("hop_start_us").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum("value", 4, "sum_value"),
+    )
+
+
+@register(
+    "revenue_share_within_region",
+    # ratio-to-report window: nation revenue over its region total;
+    # decimal-exact sums, single int-free divide per row
+    """
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(28,4))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)
+             AS region_share
+    FROM nat
+    """,
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share of its region via
+    a window total over the (tiny) aggregated table — the window runs
+    on |nations| rows, never on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    nat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(rev).alias("rev"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")).alias(
+            "region_share"
+        ),
+    )
+
+
+@register(
+    "hll_partial_union_daily_users",
+    # the mergeable-sketch production pattern: per-day sketches stored,
+    # unioned across days — each engine asserts its own sketch union
+    # against the exact cross-day distinct (hash-matched)
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(DISTINCT user_id) AS day_users
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_exact_users,
+             abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+                 / count(DISTINCT user_id) - 1) <= 0.1 AS union_ok
+      FROM events GROUP BY 1
+    )
+    SELECT t.event_type, t.n_exact_users,
+           (SELECT count(*) FROM daily d WHERE d.event_type = t.event_type)
+             AS n_days,
+           t.union_ok
+    FROM tot t
+    """,
+)
+def q_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch columns (Datasketches HLL, Spark 3.5+): build
+    one sketch per (event_type, day) — the shape you'd persist in a
+    metrics table — then hll_union_agg them into the cross-day
+    distinct. Oracle-checkable acceptance: the exact distinct (hash-
+    matched) plus a boolean asserting the sketch union landed within
+    10%; DuckDB asserts the same property of its own HLL."""
+    ev = _t(spark, sf_dir, "events")
+    ev_d = ev.select(
+        "event_type", ts_micros(ev, "ts").alias("__us"), "user_id"
+    ).select(
+        "event_type", F.expr("__us div 86400000000").alias("day"), "user_id"
+    )
+    daily = ev_d.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    unioned = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev_d.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact_users")
+    )
+    return exact.join(unioned, "event_type").select(
+        "event_type",
+        "n_exact_users",
+        "n_days",
+        (
+            F.abs(F.col("est").cast("double") / F.col("n_exact_users") - 1)
+            <= 0.1
+        ).alias("union_ok"),
+    )
