@@ -285,3 +285,40 @@ def test_catalog_hot_paths_have_no_python(spark):
         except Exception as e:  # building the plan must also succeed
             failures.append(f"{name}: {type(e).__name__}")
     assert not failures, failures
+
+
+def test_bloom_probe_broadcasts_bitmap(spark):
+    """The bitmap side of the membership probe must broadcast — the
+    big (probe) side never shuffles for the bloom check."""
+    df = q(spark, "dedup_bloom_incremental")
+    assert has_broadcast_join(df)
+    assert not has_python_eval(df)
+
+
+def test_gram_matrix_single_shuffle_and_pruning(spark):
+    """d² explode feeds a partial aggregation: one exchange bounded by
+    d²·partitions; only the vector column leaves the scan."""
+    df = q(spark, "gram_matrix_embeddings")
+    # one agg exchange (+ AQE may add none for the tiny mirror union)
+    assert count_exchanges(df) <= 2
+    assert all(cols == ["embedding"] for cols in read_schema_columns(df))
+    assert not has_python_eval(df)
+
+
+def test_fuzzy_match_no_cartesian_and_no_python(spark):
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    df = q(spark, "fuzzy_match_part_names")
+    assert "CartesianProduct" not in formatted_plan(df)
+    assert not has_python_eval(df)
+
+
+def test_merge_upsert_no_python_bounded_exchanges(spark):
+    df = q(spark, "merge_upsert_orders")
+    assert not has_python_eval(df)
+
+
+def test_hopping_window_single_shuffle(spark):
+    df = q(spark, "hopping_window_event_value")
+    assert count_exchanges(df) == 1  # explode is map-side
+    assert not has_python_eval(df)
