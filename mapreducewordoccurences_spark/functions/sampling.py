@@ -188,3 +188,52 @@ def token_budget_sample(
         with_tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_target: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted (probability-proportional-to-size) systematic sample:
+    ~``n_target`` rows per group, selection probability ∝ integer
+    ``weight_col``, fully deterministic and engine-portable.
+
+    Method: order each group by the md5 shuffle key (a reproducible
+    'random' order), take the running weight sum W_i, and select every
+    row whose weight interval (W_{i-1}, W_i] crosses a multiple of
+    step = ceil(total_w / n_target) — the classic systematic PPS rule.
+    Every quantity is an integer (exact cumsum, integer division), so
+    unlike exponential-key (A-RES) weighted reservoirs there is no
+    transcendental whose last-ulp could differ across engines.
+
+    Rows with weight >= step are always selected, but once — the
+    multiplicity a textbook PPS-with-replacement would assign collapses
+    to a single pick, so dominant rows shrink the realized sample
+    below n_target (by design: a sample can't contain a row twice).
+
+    Plan: one window shuffle keyed by group + a broadcast of per-group
+    totals. Same single-reducer-per-group bound (and the same two-phase
+    escape hatch) as token_budget_sample above.
+    """
+    order_key = deterministic_shuffle_key(_c(id_col), salt="pps")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key, _c(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn("__cw", F.sum(_c(weight_col)).over(w))
+    totals = df.groupBy(group_col).agg(
+        F.sum(_c(weight_col)).alias("__tw")
+    )
+    joined = cum.join(F.broadcast(totals), on=group_col)
+    step = F.expr(f"(__tw + {n_target} - 1) div {n_target}")
+    picked = F.expr("__cw div __step") > F.expr("(__cw - __w) div __step")
+    return (
+        joined.withColumn("__step", step)
+        .withColumn("__w", _c(weight_col))
+        .where(picked)
+        .drop("__cw", "__tw", "__step", "__w")
+    )

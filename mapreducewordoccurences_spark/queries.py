@@ -4420,3 +4420,43 @@ def q_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.1
         ).alias("union_ok"),
     )
+
+
+@register(
+    "pps_sample_documents",
+    # weighted systematic sampling: every quantity integer (exact
+    # window cumsum, integer division) — no transcendental ranking key
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS w,
+             md5(concat('pps', CAST(doc_id AS VARCHAR))) AS ok
+      FROM documents
+    ), c AS (
+      SELECT *,
+             sum(w) OVER (PARTITION BY source ORDER BY ok, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY source) AS tw
+      FROM t
+    )
+    SELECT doc_id, source, CAST(w AS INT) AS n_tokens
+    FROM c
+    WHERE (cw // ((tw + 7) // 8)) > ((cw - w) // ((tw + 7) // 8))
+    """,
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (token-proportional) systematic sample, ~8 docs per
+    source (functions/sampling.py pps_systematic_sample): long
+    documents are proportionally likelier, selection is deterministic
+    in the md5 shuffle order, and every step is integer-exact."""
+    from mapreducewordoccurences_spark.functions.sampling import (
+        pps_systematic_sample,
+    )
+    from mapreducewordoccurences_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return pps_systematic_sample(
+        docs, "n_tokens", n_target=8, group_col="source", id_col="doc_id"
+    )

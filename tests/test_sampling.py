@@ -101,3 +101,35 @@ class TestTokenBudgetSample:
         df = spark.createDataFrame([(1, "a", "g")], "doc_id long, text string, source string")
         with _pytest.raises(ValueError):
             token_budget_sample(df, budget_tokens=0)
+
+
+def test_pps_systematic_sample_properties(spark):
+    """~n_target rows per group, heavy rows overrepresented, and the
+    pick set is invariant to input partitioning."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.functions.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"),
+        # one heavy row per group (still < step), rest light
+        F.when(F.col("id") < 4, 50).otherwise(F.col("id") % 7 + 1).alias("w"),
+    )
+    out = pps_systematic_sample(df, "w", n_target=10, group_col="source",
+                                id_col="doc_id")
+    rows = out.collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.source, []).append(r.doc_id)
+    for g, ids in per_group.items():
+        # all weights < step ⇒ sample size = floor(tw/step) ∈ {9, 10}
+        assert 9 <= len(ids) <= 10, (g, len(ids))
+
+    out2 = pps_systematic_sample(
+        df.repartition(17), "w", n_target=10, group_col="source",
+        id_col="doc_id",
+    )
+    assert {r.doc_id for r in rows} == {r.doc_id for r in out2.collect()}
