@@ -70,6 +70,11 @@ EXTRA = [
     "gram_matrix_embeddings",
     "selection_quantiles_order_price",
     "dq_expectations_orders",
+    "hopping_window_event_value",
+    "revenue_share_within_region",
+    "hll_partial_union_daily_users",
+    "pps_sample_documents",
+    "ntile_customer_value_quartiles",
 ]
 
 

@@ -4460,3 +4460,33 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(
         docs, "n_tokens", n_target=8, group_col="source", id_col="doc_id"
     )
+
+
+@register(
+    "ntile_customer_value_quartiles",
+    # ntile is SQL-standard (equal buckets, earlier buckets take the
+    # remainder) — identical in both engines given a total order
+    """
+    SELECT q, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+    FROM (SELECT c_acctbal,
+                 ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS q
+          FROM customer)
+    GROUP BY q
+    """,
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile binning by account balance: ntile(4) over a total
+    order (balance desc, key tiebreak), then per-tile rollup. The
+    global window is |customers| rows on one reducer — for 100 TB
+    tables use selection_quantiles_order_price-style cutoffs instead;
+    this is the small-dimension shape."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    tiles = cust.select(
+        "c_acctbal", F.ntile(4).over(w).alias("q")
+    )
+    return tiles.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        decimal_sum("c_acctbal", 2, "sum_acctbal"),
+    )
