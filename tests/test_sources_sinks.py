@@ -256,3 +256,51 @@ def test_zorder_layout_tightens_rowgroup_stats(spark, tmp_path):
     assert hits(zb) < hits(rb), (hits(zb), len(zb), hits(rb), len(rb))
     # row counts preserved
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_kvtext_datasource_roundtrip(spark, tmp_path):
+    """write_csv_kv -> kvtext DataSource read must reproduce the
+    wordcount table exactly (the reference's output contract as a
+    first-class readable format)."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.core.wordcount import count_words
+    from mapreducewordoccurences_spark.sources.kv_datasource import register_kvtext
+    from mapreducewordoccurences_spark.sources.sinks import write_csv_kv
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wc = count_words(docs, "text", sort=False)
+    path = str(tmp_path / "kv")
+    write_csv_kv(wc, path, "word", "count")
+
+    register_kvtext(spark)
+    back = (
+        spark.read.format("kvtext")
+        .schema("word string, count bigint")
+        .load(path)
+    )
+    a = {(r.word, r["count"]) for r in wc.collect()}
+    b = {(r.word, r["count"]) for r in back.collect()}
+    assert a == b and len(a) > 0
+    # a multi-file dir reads with one partition per file
+    n_files = len([f for f in __import__("os").listdir(path) if f.startswith("part-")])
+    assert back.rdd.getNumPartitions() == n_files
+
+
+def test_kvtext_datasource_value_tolerance(spark, tmp_path):
+    """Blank lines and '='-less lines skip; bad ints become NULL;
+    values keep everything after the first '='."""
+    p = tmp_path / "kv-weird.txt"
+    p.write_text("a=1\n\nnoequals\nb=x\nc=2=3\n")
+    from mapreducewordoccurences_spark.sources.kv_datasource import register_kvtext
+
+    register_kvtext(spark)
+    rows = {
+        r.key: r.value
+        for r in spark.read.format("kvtext")
+        .schema("key string, value string")
+        .load(str(p))
+        .collect()
+    }
+    assert rows == {"a": "1", "b": "x", "c": "2=3"}
