@@ -1,0 +1,76 @@
+"""Property-based differential tests for the round-4 operators:
+each compares the distributed implementation against a straightforward
+single-threaded Python reference on Hypothesis-generated inputs.
+Few examples, many rows per example — one Spark job per example."""
+
+from __future__ import annotations
+
+import collections
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)),  # (key, repeat)
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([0.05, 0.1, 0.2]),
+)
+def test_heavy_hitters_equals_reference(spark, spec, share):
+    from mapreducewordoccurences_spark.operators.skew import heavy_hitters
+
+    rows = [(k,) for k, rep in spec for _ in range(rep)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(7)
+    got = {(r.k, r.cnt) for r in heavy_hitters(df, ["k"], min_share=share).collect()}
+
+    counts = collections.Counter(k for k, in rows)
+    n = len(rows)
+    import math
+
+    thresh = math.ceil(n * share)
+    want = {(k, c) for k, c in counts.items() if c >= thresh}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=300),
+    st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+def test_selection_quantile_equals_sorted_reference(spark, vals, q):
+    import math
+
+    from mapreducewordoccurences_spark.operators.selection import exact_quantile_disc
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(5)
+    got = exact_quantile_disc(df, "v", q, buckets=16, direct_threshold=8)
+    rank = max(1, math.ceil(len(vals) * q - 1e-9))
+    want = sorted(vals)[rank - 1]
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(st.text("ab", min_size=0, max_size=8), min_size=1, max_size=60),
+    st.lists(st.text("ab", min_size=0, max_size=8), min_size=1, max_size=60),
+)
+def test_bloom_membership_never_false_negative(spark, present, probes):
+    from mapreducewordoccurences_spark.dedup.bloom import (
+        bloom_bitmap,
+        bloom_params,
+        with_bloom_contains,
+    )
+
+    present = list(dict.fromkeys(present))
+    pdf = spark.createDataFrame([(s,) for s in present], ["k"])
+    qdf = spark.createDataFrame([(s,) for s in set(probes)], ["k"])
+    m, h = bloom_params(len(present), 0.05)
+    bm = bloom_bitmap(pdf, "k", m, h)
+    flagged = {r.k: r.bloom_maybe for r in with_bloom_contains(qdf, "k", bm, m, h).collect()}
+    for s in set(probes):
+        if s in set(present):
+            assert flagged[s] is True  # no false negatives, ever
