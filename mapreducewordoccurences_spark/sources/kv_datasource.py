@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class KvFilePartition(InputPartition):
@@ -91,6 +96,61 @@ class KvTextDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return KvTextReader(self.options, schema)
 
+    def simpleStreamReader(self, schema) -> "KvTextStreamReader":
+        return KvTextStreamReader(self.options, schema)
+
 
 def register_kvtext(spark) -> None:
     spark.dataSource.register(KvTextDataSource)
+
+
+class KvTextStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the kvtext source: tail a directory for new
+    kv files; the offset is the sorted list of files already consumed,
+    so every file is read exactly once and `readBetweenOffsets` can
+    replay a batch deterministically after failure — the connector-
+    side half of end-to-end exactly-once (the sink's idempotence is
+    the other half). A production variant would swap the listing for
+    an object-store manifest; the offset/replay contract is the same.
+    """
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvtext: 'path' option is required")
+        self.schema = schema
+
+    def _list(self):
+        if not os.path.isdir(self.path):
+            return [self.path] if os.path.exists(self.path) else []
+        return sorted(
+            os.path.join(self.path, n)
+            for n in os.listdir(self.path)
+            if n.startswith(("part-", "kv-")) or n.endswith(".txt")
+        )
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def _read_files(self, paths):
+        # materialized list, not a generator: the runtime prefetches
+        # and pickles these rows to ship them to the cluster
+        reader = KvTextReader({"path": self.path}, self.schema)
+        rows = []
+        for p in paths:
+            rows.extend(reader.read(KvFilePartition(p)))
+        return rows
+
+    def read(self, start):
+        seen = set(start.get("files", []))
+        new = [p for p in self._list() if p not in seen]
+        end = {"files": sorted(seen | set(new))}
+        return iter(self._read_files(new)), end
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start.get("files", []))
+        upto = set(end.get("files", []))
+        return iter(self._read_files(sorted(upto - seen)))
+
+    def commit(self, end):
+        pass  # offsets carry full state; nothing external to clean up

@@ -133,3 +133,51 @@ def test_streaming_events_ts_normalization(spark):
     df, et = _as_event_time(ev, "ts")
     row = df.select(et).first()
     assert row[0].year >= 2024
+
+
+def test_kvtext_streaming_source_tails_new_files(spark, tmp_path):
+    """The kvtext streaming reader must pick up files exactly once:
+    two files at start, one more mid-stream, no dup rows."""
+    import time
+
+    from mapreducewordoccurences_spark.sources.kv_datasource import register_kvtext
+
+    src = tmp_path / "kvstream"
+    src.mkdir()
+    (src / "kv-0.txt").write_text("a=1\nb=2\n")
+    (src / "kv-1.txt").write_text("c=3\n")
+
+    register_kvtext(spark)
+    stream = (
+        spark.readStream.format("kvtext")
+        .schema("key string, value bigint")
+        .load(str(src))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kv_stream_test")
+        .outputMode("append")
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "kv-2.txt").write_text("d=4\n")
+        deadline = time.monotonic() + 30
+        want = {("a", 1), ("b", 2), ("c", 3), ("d", 4)}
+        got = set()
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            got = {
+                (r.key, r.value)
+                for r in spark.sql("SELECT * FROM kv_stream_test").collect()
+            }
+            if got == want:
+                break
+            time.sleep(0.3)
+        assert got == want
+        # exactly once: no duplicate rows
+        n = spark.sql("SELECT count(*) AS n FROM kv_stream_test").collect()[0].n
+        assert n == 4
+    finally:
+        q.stop()
