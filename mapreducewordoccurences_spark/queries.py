@@ -4490,3 +4490,38 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         decimal_sum("c_acctbal", 2, "sum_acctbal"),
     )
+
+
+@register(
+    "grouping_id_rollup_orders",
+    # GROUPING() bits composed manually (g = 2*G(status) + G(priority))
+    # — portable across engines, unlike native grouping_id arg orders
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS lvl,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with explicit aggregation-level labels via GROUPING()
+    bits — disambiguates 'real NULL key' from 'rolled-up total' rows,
+    which coalesce alone cannot."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.col("lvl").cast("long"),
+            "n_orders",
+        )
+    )
