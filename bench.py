@@ -75,6 +75,7 @@ EXTRA = [
     "hll_partial_union_daily_users",
     "pps_sample_documents",
     "ntile_customer_value_quartiles",
+    "grouping_id_rollup_orders",
 ]
 
 
