@@ -4525,3 +4525,64 @@ def q_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "pattern_purchase_no_error_between",
+    # CEP-lite absence pattern: signup -> purchase with NO error event
+    # strictly between, per user, all on epoch-micros ints
+    """
+    WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t_signup
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+               FROM events e JOIN s USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND epoch_us(e.ts) >= s.t_signup
+               GROUP BY 1)
+    SELECT p.user_id, s.t_signup, p.t_purchase,
+           NOT EXISTS (SELECT 1 FROM events x
+                       WHERE x.user_id = p.user_id
+                         AND x.event_type = 'error'
+                         AND epoch_us(x.ts) > s.t_signup
+                         AND epoch_us(x.ts) < p.t_purchase) AS clean_path
+    FROM p JOIN s USING (user_id)
+    """,
+)
+def q_pattern_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence pattern (complex-event-processing shape): each user's
+    first signup->purchase conversion, flagged clean when NO error
+    event falls strictly between the two times. The absence check is
+    an aggregated LEFT join on user_id (error minima per window), not
+    a correlated per-row probe — all three stages share one key."""
+    ev = _t(spark, sf_dir, "events")
+    ev_us = ev.select("user_id", "event_type", ts_micros(ev, "ts").alias("ts_us"))
+    s = (
+        ev_us.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_signup"))
+    )
+    p = (
+        ev_us.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts_us") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    win = p.join(s, "user_id")
+    errs = (
+        ev_us.where(F.col("event_type") == "error")
+        .join(win, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t_signup"))
+            & (F.col("ts_us") < F.col("t_purchase"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("__has_err", F.lit(True))
+    )
+    return win.join(errs, "user_id", "left").select(
+        "user_id",
+        "t_signup",
+        "t_purchase",
+        F.coalesce(~F.col("__has_err"), F.lit(True)).alias("clean_path"),
+    )

@@ -181,3 +181,54 @@ def test_kvtext_streaming_source_tails_new_files(spark, tmp_path):
         assert n == 4
     finally:
         q.stop()
+
+
+def test_materialized_aggregate_matches_batch(spark, tmp_path):
+    """Stream a parquet directory in two availableNow passes; the
+    maintained snapshot must equal the one-shot batch aggregate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.streaming.materialized import (
+        read_current_snapshot,
+        start_materialized_sum_count,
+    )
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    df1 = spark.range(0, 500).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    df1.write.mode("append").parquet(src)
+
+    schema = "k bigint, v double"
+    q = start_materialized_sum_count(
+        spark.readStream.schema(schema).parquet(src), "k", "v", base, ckpt
+    )
+    q.awaitTermination(120)
+
+    df2 = spark.range(500, 900).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    df2.write.mode("append").parquet(src)
+    q2 = start_materialized_sum_count(
+        spark.readStream.schema(schema).parquet(src), "k", "v", base, ckpt
+    )
+    q2.awaitTermination(120)
+
+    snap = {
+        r.k: (r.sum_value, r.n_rows)
+        for r in read_current_snapshot(spark, base).collect()
+    }
+    want = {
+        r.k: (r.sum_value, r.n_rows)
+        for r in spark.read.parquet(src)
+        .groupBy("k")
+        .agg(F.sum("v").alias("sum_value"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert snap == want and len(snap) == 7
