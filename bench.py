@@ -76,6 +76,7 @@ EXTRA = [
     "pps_sample_documents",
     "ntile_customer_value_quartiles",
     "grouping_id_rollup_orders",
+    "pattern_purchase_no_error_between",
 ]
 
 

@@ -304,3 +304,39 @@ def test_kvtext_datasource_value_tolerance(spark, tmp_path):
         .collect()
     }
     assert rows == {"a": "1", "b": "x", "c": "2=3"}
+
+
+def test_file_bloom_index_prunes_and_never_misses(spark, tmp_path):
+    """Point lookups through the file-level Bloom index must read a
+    strict subset of files and return exactly the full-scan answer —
+    for every probed key, present or absent."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.sources.file_index import (
+        build_file_bloom_index,
+        candidate_files,
+        point_lookup_with_index,
+    )
+
+    path = str(tmp_path / "keyed")
+    # 16 files, keys hash-scattered so no file-range pruning could help
+    spark.range(0, 4000).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    ).repartition(16).write.mode("overwrite").parquet(path)
+
+    index, m, h = build_file_bloom_index(
+        spark, path, "k", expected_keys_per_file=300
+    )
+    n_files = spark.read.parquet(path).select(
+        F.input_file_name()
+    ).distinct().count()
+
+    for probe in ["user-1234", "user-7", "user-99999"]:  # last one absent
+        cand = candidate_files(index, probe, m, h).count()
+        assert cand < n_files  # the index must actually prune
+        got = point_lookup_with_index(spark, path, "k", probe, index, m, h)
+        want = spark.read.parquet(path).where(F.col("k") == probe)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
