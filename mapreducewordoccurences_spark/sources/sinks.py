@@ -197,3 +197,41 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite ``src`` as ceil(bytes/target)
+    right-sized files. The small-files problem is a real 100 TB tax —
+    per-file open/footer costs and a task per tiny split dominate
+    scans once streaming sinks / frequent batches fragment a table.
+
+    File count comes from the actual on-disk byte size (footers
+    included — what scan planning sees), not row counts. Optional
+    ``sort_cols`` re-establishes clustering while rewriting (pair with
+    zorder_key for multi-column layouts). Returns the output file
+    count."""
+    import math
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(src):
+        for f in files:
+            if f.endswith(".parquet") or f.startswith("part-"):
+                total += _os.path.getsize(_os.path.join(root, f))
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode(mode).parquet(dst)
+    return n_out

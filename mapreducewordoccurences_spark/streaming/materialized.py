@@ -89,3 +89,14 @@ def start_materialized_sum_count(
     return start_foreach_batch_sink(
         stream_df, apply_batch, checkpoint_dir, available_now=available_now
     )
+
+
+def read_snapshot_version(
+    spark: SparkSession, base_dir: str, version: str
+) -> DataFrame:
+    """Time travel: read a specific retained snapshot version (batch
+    epochs never overwrite each other — ``v<batch_id>`` directories
+    accumulate until a retention sweep deletes them), so yesterday's
+    aggregate state stays queryable for audits and reprocessing
+    comparisons."""
+    return spark.read.parquet(os.path.join(base_dir, version))

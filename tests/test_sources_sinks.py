@@ -340,3 +340,56 @@ def test_file_bloom_index_prunes_and_never_misses(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         )
+
+
+def test_compact_parquet_right_sizes_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    spark.range(0, 20000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(32).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 32
+
+    n_out = compact_parquet(spark, src, dst, target_mb=1)
+    files = glob.glob(f"{dst}/part-*")
+    assert len(files) == n_out <= 4  # ~1.5 MB of data → a few files
+    assert spark.read.parquet(dst).count() == 20000
+
+
+def test_materialized_snapshot_time_travel(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.streaming.materialized import (
+        read_snapshot_version,
+        start_materialized_sum_count,
+    )
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "mv")
+    os.makedirs(src)
+    spark.range(0, 100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+    ).write.mode("append").parquet(src)
+    q = start_materialized_sum_count(
+        spark.readStream.schema("k bigint, v double").parquet(src),
+        "k", "v", base, str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    spark.range(100, 200).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+    ).write.mode("append").parquet(src)
+    q2 = start_materialized_sum_count(
+        spark.readStream.schema("k bigint, v double").parquet(src),
+        "k", "v", base, str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+
+    v0 = read_snapshot_version(spark, base, "v0")
+    assert v0.agg(F.sum("n_rows")).collect()[0][0] == 100  # old state intact
