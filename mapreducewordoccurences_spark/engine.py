@@ -70,3 +70,24 @@ class Engine:
         from mapreducewordoccurences_spark.queries import QUERIES
 
         return sorted(QUERIES)
+
+
+def observed(df, name: str, **metrics):
+    """Attach zero-cost pipeline metrics to a DataFrame: the given
+    aggregate expressions are computed DURING the next action on the
+    same pass (no extra scan, no second job) and surface via the
+    returned Observation once the action completes.
+
+        obs, out = observed(df, "gate", n=F.count(F.lit(1)),
+                            nulls=F.sum(F.col("k").isNull().cast("int")))
+        out.write.parquet(...)
+        obs.get  # {'n': ..., 'nulls': ...}
+
+    This is the monitoring half of a production pipeline: row counts,
+    null rates, and domain counters recorded on every write without
+    re-reading 100 TB. (For streaming, the same metrics flow through
+    StreamingQueryListener events instead.)"""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return obs, df.observe(obs, *[c.alias(k) for k, c in metrics.items()])

@@ -46,3 +46,21 @@ def test_catalog_query_by_name(engine):
 def test_catalog_lists_queries(engine):
     assert "q1_pricing_summary" in engine.catalog
     assert len(engine.catalog) >= 30
+
+
+def test_observed_metrics_piggyback_single_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.engine import observed
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("k")
+    )
+    obs, out = observed(
+        df, "gate",
+        n=F.count(F.lit(1)),
+        k_nulls=F.sum(F.col("k").isNull().cast("int")),
+    )
+    out.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n"] == 1000 and got["k_nulls"] == 100
