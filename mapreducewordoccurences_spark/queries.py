@@ -4586,3 +4586,34 @@ def q_pattern_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_purchase",
         F.coalesce(~F.col("__has_err"), F.lit(True)).alias("clean_path"),
     )
+
+
+@register(
+    "kfold_assignment_counts",
+    # reproducible k-fold eval assignment: fold = md5 bucket % 5 — the
+    # same engine-portable hash family the split/sample ops use
+    """
+    SELECT CAST(CAST(concat('0x', substr(md5(concat('fold', CAST(doc_id AS VARCHAR))), 1, 4))
+                AS INT) % 5 AS BIGINT) AS fold,
+           source, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (cross-validation splits that
+    survive reruns, engine swaps, and repartitioning): fold = md5
+    bucket mod k via the sampling module's portable hash family."""
+    from mapreducewordoccurences_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (hash_bucket(F.col("doc_id"), salt="fold") % 5)
+            .cast("bigint")
+            .alias("fold"),
+            "source",
+        )
+        .groupBy("fold", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

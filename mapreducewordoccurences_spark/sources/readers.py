@@ -127,3 +127,17 @@ def read_binary_files(
     if max_bytes_per_file is not None:
         df = df.where(F.col("length") <= max_bytes_per_file)
     return df
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under EVOLVING schemas as one table:
+    ``mergeSchema`` unions the per-file schemas (new columns surface
+    as NULL for files written before they existed) — the additive-
+    evolution contract a long-lived 100 TB table needs, with the
+    standard constraints: adding nullable columns is safe; renames and
+    type changes are rewrites, not evolution.
+
+    mergeSchema costs a footer read per file at planning (why it's off
+    by default) — acceptable for explicit evolved reads; keep static
+    schemas on hot paths."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -393,3 +393,22 @@ def test_materialized_snapshot_time_travel(spark, tmp_path):
 
     v0 = read_snapshot_version(spark, base, "v0")
     assert v0.agg(F.sum("n_rows")).collect()[0][0] == 100  # old state intact
+
+
+def test_read_parquet_evolved_additive_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.sources.readers import read_parquet_evolved
+
+    v1, v2 = str(tmp_path / "t/v1"), str(tmp_path / "t/v2")
+    spark.range(0, 50).select(F.col("id"), F.lit("a").alias("src")).write.parquet(v1)
+    spark.range(50, 80).select(
+        F.col("id"), F.lit("b").alias("src"), (F.col("id") * 2).alias("score")
+    ).write.parquet(v2)
+
+    df = read_parquet_evolved(spark, v1, v2)
+    assert set(df.columns) == {"id", "src", "score"}
+    assert df.count() == 80
+    # pre-evolution rows surface the new column as NULL
+    assert df.where(F.col("src") == "a").where(F.col("score").isNull()).count() == 50
+    assert df.where(F.col("src") == "b").where(F.col("score").isNotNull()).count() == 30
