@@ -116,3 +116,63 @@ def pca_project(
         ]
     )
     return df.select(F.col(id_col), proj.alias("projection"))
+
+
+def xty_vector(
+    df: DataFrame, vec_col: str = "embedding", y_col: str = "label"
+) -> DataFrame:
+    """(i, v): the X^T y vector at the same 12-digit fixed point as
+    gram_matrix — the second (and last) row-scale pass a normal-
+    equations linear fit needs. Exchange ≤ d·partitions rows."""
+    pairs = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "xi"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    prod = F.expr("CAST(xi * __y * 1e12 AS BIGINT)")
+    return pairs.groupBy("i").agg((F.sum(prod) / F.lit(1e12)).alias("v"))
+
+
+def ridge_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    y_col: str = "label",
+    l2: float = 1e-3,
+):
+    """Ridge regression by normal equations: beta =
+    (X^T X + l2·I)^{-1} X^T y. Two distributed passes (gram + xty,
+    both dimension-bounded exchanges), one d×d driver solve — the
+    at-scale shape for d up to a few thousand. Returns a numpy array
+    of coefficients (no intercept; append a 1-column for one)."""
+    import numpy as np
+
+    g_rows = gram_matrix(df, vec_col).collect()
+    d = max(r.i for r in g_rows) + 1
+    g = np.zeros((d, d))
+    for r in g_rows:
+        g[r.i][r.j] = r.g
+    b = np.zeros(d)
+    for r in xty_vector(df, vec_col, y_col).collect():
+        b[r.i] = r.v
+    return np.linalg.solve(g + l2 * np.eye(d), b)
+
+
+def ridge_predict(
+    df: DataFrame,
+    beta,
+    id_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Map-only scoring: broadcast coefficients as literals, one fold
+    per row — identical shape to pca_project."""
+    vec = F.col(vec_col).cast("array<double>")
+    pred = F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in beta]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), pred.alias(out_col))

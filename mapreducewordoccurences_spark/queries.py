@@ -4617,3 +4617,27 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "xty_embeddings_label",
+    # the X^T y pass of a normal-equations linear fit — same
+    # fixed-point protocol as gram_matrix_embeddings
+    """
+    SELECT i, sum(CAST(trunc(xi * CAST(label AS DOUBLE) * 1e12) AS BIGINT)) / 1e12 AS v
+    FROM (SELECT CAST(label AS DOUBLE) AS label,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS xi,
+                 unnest(range(len(embedding))) AS i
+          FROM embeddings)
+    GROUP BY i
+    """,
+)
+def q_xty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X^T y at fixed point (functions/pca.py xty_vector): with
+    gram_matrix_embeddings these are the ONLY row-scale passes a
+    normal-equations ridge fit needs — the d x d solve is driver-side
+    dimension-bounded math (test_pca.py checks the full fit vs
+    numpy)."""
+    from mapreducewordoccurences_spark.functions.pca import xty_vector
+
+    return xty_vector(_t(spark, sf_dir, "embeddings"), "embedding", "label")

@@ -51,3 +51,25 @@ def test_projection_matches_numpy(spark):
     want = x @ comps.T
     for vid, row in zip(ids, want):
         assert np.allclose(proj[vid], row, atol=1e-9)
+
+
+def test_ridge_fit_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mapreducewordoccurences_spark.functions.pca import ridge_fit, ridge_predict
+
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    y = pdf["label"].to_numpy(dtype=np.float64)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    beta = ridge_fit(emb, "embedding", "label", l2=1e-3)
+    want = np.linalg.solve(x.T @ x + 1e-3 * np.eye(x.shape[1]), x.T @ y)
+    assert np.allclose(beta, want, atol=1e-6)
+
+    preds = {r.vec_id: r.prediction
+             for r in ridge_predict(emb, beta, "vec_id", "embedding").collect()}
+    want_preds = x @ beta
+    for vid, wp in zip(pdf["vec_id"], want_preds):
+        assert abs(preds[vid] - wp) < 1e-9
