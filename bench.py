@@ -77,6 +77,9 @@ EXTRA = [
     "ntile_customer_value_quartiles",
     "grouping_id_rollup_orders",
     "pattern_purchase_no_error_between",
+    "kfold_assignment_counts",
+    "xty_embeddings_label",
+    "corr_quantity_price_by_flag",
 ]
 
 

@@ -4641,3 +4641,66 @@ def q_xty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.functions.pca import xty_vector
 
     return xty_vector(_t(spark, sf_dir, "embeddings"), "embedding", "label")
+
+
+@register(
+    "corr_quantity_price_by_flag",
+    # Pearson r from decimal-exact raw moments (built-in corr() sums
+    # doubles in shuffle order — not reproducible, let alone portable);
+    # the final combination is a fixed sequence of double ops
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) / 1000 AS y
+            FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r,
+           (sxy - sx * sy / n) / n AS covar_pop_k
+    FROM m
+    """,
+)
+def q_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/covariance per return flag from decimal-exact raw
+    moments: the five sums are order-free (so AQE replans and
+    partition changes can't flip a bit), and the closing arithmetic is
+    a fixed double-op sequence both engines share. One shuffle, one
+    pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    # y in price-thousands: keeps every unscaled decimal sum under
+    # 2^53 so decimal->double converts with one exact-input rounding
+    # in both engines (price^2 sums overflowed that bound raw — the
+    # same double-rounding ulp drift the gram matrix hit at scale 20);
+    # pearson_r is scale-invariant, covar is reported in that unit
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_extendedprice").cast("double") / 1000).alias("y"),
+    )
+    d6 = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    m = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d6(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d6(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d6(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(d6(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    return m.select(
+        "l_returnflag", "n", r.alias("pearson_r"), cov.alias("covar_pop_k")
+    )
