@@ -322,3 +322,20 @@ def test_hopping_window_single_shuffle(spark):
     df = q(spark, "hopping_window_event_value")
     assert count_exchanges(df) == 1  # explode is map-side
     assert not has_python_eval(df)
+
+
+def test_catalog_has_no_cartesian_products(spark):
+    """No catalog query may plan a CartesianProduct: every cross-ish
+    shape must be a broadcast of a scalar/centroid/dim table
+    (BroadcastNestedLoop over bounded rows is acceptable; an
+    unbounded pairwise product is never)."""
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    offenders = []
+    for name in sorted(QUERIES):
+        try:
+            if "CartesianProduct" in formatted_plan(q(spark, name)):
+                offenders.append(name)
+        except Exception as e:  # plan construction must succeed too
+            offenders.append(f"{name}: {type(e).__name__}")
+    assert not offenders, offenders
