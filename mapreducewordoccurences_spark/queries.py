@@ -4652,11 +4652,11 @@ def q_xty(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT l_returnflag,
              count(*) AS n,
-             CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+             sum(CAST(trunc(x * 1e6) AS BIGINT)) / 1e6 AS sx,
+             sum(CAST(trunc(y * 1e6) AS BIGINT)) / 1e6 AS sy,
+             sum(CAST(trunc(x * x * 1e6) AS BIGINT)) / 1e6 AS sxx,
+             sum(CAST(trunc(y * y * 1e6) AS BIGINT)) / 1e6 AS syy,
+             sum(CAST(trunc(x * y * 1e6) AS BIGINT)) / 1e6 AS sxy
       FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
                    CAST(l_extendedprice AS DOUBLE) / 1000 AS y
             FROM lineitem)
@@ -4686,14 +4686,18 @@ def q_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("x"),
         (F.col("l_extendedprice").cast("double") / 1000).alias("y"),
     )
-    d6 = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    # 6-digit fixed-point long sums (the gram-matrix protocol): exact,
+    # order-free, and primitive-codegen fast where Decimal128
+    # aggregation was the hot-loop cost; Spark's double->bigint cast
+    # truncates, DuckDB mirrors with explicit trunc()
+    fp = lambda c: F.expr(f"CAST({c} * 1e6 AS BIGINT)")  # noqa: E731
     m = base.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(d6(F.col("x"))).cast("double").alias("sx"),
-        F.sum(d6(F.col("y"))).cast("double").alias("sy"),
-        F.sum(d6(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(d6(F.col("y") * F.col("y"))).cast("double").alias("syy"),
-        F.sum(d6(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        (F.sum(fp("x")) / F.lit(1e6)).alias("sx"),
+        (F.sum(fp("y")) / F.lit(1e6)).alias("sy"),
+        (F.sum(fp("x * x")) / F.lit(1e6)).alias("sxx"),
+        (F.sum(fp("y * y")) / F.lit(1e6)).alias("syy"),
+        (F.sum(fp("x * y")) / F.lit(1e6)).alias("sxy"),
     )
     n = F.col("n")
     r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
