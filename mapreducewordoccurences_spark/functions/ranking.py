@@ -114,9 +114,11 @@ def unigram_logprob(
     corpus count and T total tokens. No smoothing needed: every doc
     word is by construction in the corpus vocabulary.
 
-    Plan: tf (one shuffle) → broadcast vocab model (distinct-word
-    aggregate) → map-side tf·logp → one groupBy(id). The vocab
-    aggregate and total-token scalar are corpus-wide but
+    Plan: tf (one shuffle) → vocab model derived FROM tf (the corpus
+    is tokenized once — the vocab shuffle runs over (doc, word) rows,
+    already ~tokens/avg_tf smaller than the token stream) → broadcast
+    vocab + total scalar → map-side tf·logp → one groupBy(id). The
+    vocab aggregate and total-token scalar are corpus-wide but
     vocabulary-sized — broadcastable at any corpus scale.
     """
     words = df.select(
@@ -124,10 +126,7 @@ def unigram_logprob(
         F.explode(F.split(F.lower(text_col), "[^a-z0-9]+")).alias("word"),
     ).where(F.length("word") > 0)
     tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    # vocab aggregates exploded tokens directly — map-side partial
-    # combine makes this one word-keyed shuffle, not a (doc, word)
-    # aggregation followed by a regroup
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cw"))
+    vocab = tf.groupBy("word").agg(F.sum("tf").alias("cw"))
     total = vocab.agg(F.sum("cw").cast("double").alias("total"))
 
     logp = F.log(F.col("cw") / F.col("total"))
