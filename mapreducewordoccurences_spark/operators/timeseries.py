@@ -179,3 +179,63 @@ def ewma_last(
             ewma.alias("ewma_value"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per key for an IRREGULARLY sampled series:
+    each observation's value is weighted by how long it was in effect
+    (until the next observation) — the correct mean for step-function
+    metrics (gauge readings, account balances), where the arithmetic
+    mean over-weights bursty periods.
+
+    TWA = sum(v_i * (t_{i+1} - t_i)) / (t_N - t_1), over the lead()
+    gap; the last observation carries no weight (it is never "in
+    effect" within the observed range). Keys with one observation
+    yield NULL (zero observed duration).
+
+    One window + one aggregate, both partitioned by the key — a single
+    shuffle, no global ordering, scales out with key cardinality. The
+    value×duration products are summed at 6-digit fixed point (the
+    gram-matrix/correlation protocol: truncate to BIGINT, sum exactly,
+    one closing divide) so the result is order-independent and
+    bit-portable across engines; gap durations are converted to
+    seconds first to keep the unscaled sums under 2^53.
+    """
+    w = Window.partitionBy(key_col).orderBy("__us", "__tb")
+    obs = df.select(
+        F.col(key_col),
+        ts_micros(df, ts_col).alias("__us"),
+        F.col(value_col).cast("double").alias("__v"),
+        # (ts, tiebreak) must be unique per key or lead() is
+        # order-dependent on equal timestamps
+        F.col(tiebreak_col).alias("__tb"),
+    ).withColumn("__gap_us", F.lead("__us").over(w) - F.col("__us"))
+    # Spark's double->bigint cast truncates toward zero; the DuckDB
+    # mirror is CAST(trunc(x) AS BIGINT)
+    wsum_fp = F.sum(
+        F.expr("CAST(__v * (__gap_us / 1e6) * 1e6 AS BIGINT)")
+    )
+    return (
+        obs.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (F.max("__us") - F.min("__us")).alias("span_us"),
+            wsum_fp.alias("__wsum_fp"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("n_obs"),
+            F.col("span_us"),
+            F.when(
+                F.col("span_us") > 0,
+                (F.col("__wsum_fp") / F.lit(1e6))
+                / (F.col("span_us") / F.lit(1e6)),
+            ).alias("twa_value"),
+        )
+    )

@@ -4708,3 +4708,418 @@ def q_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", "n", r.alias("pearson_r"), cov.alias("covar_pop_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: CDC/SCD2, time-weighted stats, sliding distinct,
+# corpus boilerplate, entropy, robust outliers, temperature sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 3
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 7
+    ), diff AS (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                       AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                    THEN 'unchanged'
+                  ELSE 'update' END AS change_type,
+             o.o_totalprice AS old_p, n.o_totalprice AS new_p
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type,
+           count(*) AS n_keys,
+           CAST(SUM(CAST(old_p AS DECIMAL(28,4))) AS DOUBLE) AS old_total,
+           CAST(SUM(CAST(new_p AS DECIMAL(28,4))) AS DOUBLE) AS new_total
+    FROM diff GROUP BY change_type
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC derivation: classify every order key across two simulated
+    table snapshots (13th keys inserted, 7th deleted, every 5th price
+    bumped) as insert/update/delete/unchanged via ONE full outer join
+    (operators/cdc.py snapshot_diff), then roll the change stream up
+    to per-class counts and decimal-exact totals. At 100 TB this diff
+    is exchange-free when both snapshots are bucketed by the key."""
+    from mapreducewordoccurences_spark.operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = base.where(F.col("o_orderkey") % 13 != 3)
+    new = base.where(F.col("o_orderkey") % 13 != 7).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(100.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        decimal_sum("old_o_totalprice", scale=4, alias="old_total"),
+        decimal_sum("new_o_totalprice", scale=4, alias="new_total"),
+    )
+
+
+@register(
+    "scd2_customer_priority",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderpriority,
+             epoch_us(o_orderdate) AS obs_us, o_orderkey,
+             CASE WHEN o_orderpriority IS DISTINCT FROM
+                       lag(o_orderpriority) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY epoch_us(o_orderdate), o_orderkey)
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+    ), r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY obs_us, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM s
+    ), g AS (
+      SELECT o_custkey, CAST(run AS INT) AS version,
+             min(o_orderpriority) AS o_orderpriority,
+             min(obs_us) AS valid_from,
+             count(*) AS n_observations
+      FROM r GROUP BY 1, 2
+    )
+    SELECT o_custkey, version, o_orderpriority, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+             IS NULL AS is_current,
+           n_observations
+    FROM g
+    """,
+)
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/cdc.py scd2_build): the
+    order-priority history per customer collapsed into validity
+    ranges (valid_from/valid_to epoch-µs, is_current) — the standard
+    way a warehouse keeps every historical value of a slowly-changing
+    attribute. Gaps-and-islands over one per-key shuffle."""
+    from mapreducewordoccurences_spark.operators.cdc import scd2_build
+
+    orders = _t(spark, sf_dir, "orders")
+    log = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        ts_micros(orders, "o_orderdate").alias("obs_us"),
+        "o_orderkey",
+    )
+    return scd2_build(
+        log, key="o_custkey", attr="o_orderpriority",
+        order_col="obs_us", tiebreak="o_orderkey",
+    ).withColumnRenamed("obs_us", "valid_from").select(
+        "o_custkey", "version", "o_orderpriority", "valid_from",
+        "valid_to", "is_current", "n_observations",
+    )
+
+
+@register(
+    "time_weighted_avg_user_value",
+    """
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               - epoch_us(ts) AS gap
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_obs,
+           max(us) - min(us) AS span_us,
+           CASE WHEN max(us) - min(us) > 0 THEN
+             (sum(CAST(trunc(v * (gap / 1e6) * 1e6) AS BIGINT)) / 1e6)
+               / ((max(us) - min(us)) / 1e6)
+           END AS twa_value
+    FROM obs GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series
+    (operators/timeseries.py time_weighted_avg): duration-weighted
+    mean for irregular step-function metrics — the arithmetic mean
+    over-weights bursty periods. Fixed-point sums keep it
+    bit-portable; one shuffle shared by the window and the agg."""
+    from mapreducewordoccurences_spark.operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "sliding_distinct_users_3d",
+    """
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day AS d FROM du)
+    SELECT d AS day,
+           count(DISTINCT user_id) AS n_users_3d,
+           count(DISTINCT du.day) AS n_days_in_window
+    FROM days JOIN du ON du.day BETWEEN days.d - 2 AND days.d
+    GROUP BY d
+    """,
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users over a trailing 3-day window per day —
+    the sliding-window COUNT(DISTINCT) SQL windows can't express
+    (no DISTINCT in window frames). Shape: pre-aggregate events to
+    distinct (day, user) — the only event-scale shuffle — then
+    range-join against the tiny day axis (broadcast; rows ∝ days,
+    bounded by retention, not data volume) and count distinct per
+    window. The approximate tier for wider windows is
+    hll_partial_union_daily_users (mergeable sketch partials)."""
+    events = _t(spark, sf_dir, "events")
+    du = (
+        events.select(ts_micros(events, "ts").alias("__us"), "user_id")
+        .select(F.expr("__us div 86400000000").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select(F.col("day").alias("d")).distinct()
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("day") >= F.col("d") - 2) & (F.col("day") <= F.col("d")),
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_3d"),
+            F.countDistinct("day").alias("n_days_in_window"),
+        )
+        .select(F.col("d").alias("day"), "n_users_3d", "n_days_in_window")
+    )
+
+
+@register(
+    "boilerplate_shingle_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS s
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ), dfreq AS (
+      SELECT s, count(*) AS df FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           count(CASE WHEN dfreq.df >= 2 THEN 1 END) AS n_common,
+           count(CASE WHEN dfreq.df >= 2 THEN 1 END) / count(*)
+             AS boilerplate_ratio
+    FROM sh JOIN dfreq ON sh.s = dfreq.s
+    GROUP BY sh.doc_id
+    """,
+)
+def q_boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (C4/RefinedWeb-style): the
+    fraction of a document's distinct 5-gram shingles that also occur
+    in at least one OTHER document — headers, footers, and templated
+    text score high and get dropped before near-dup pairing even
+    runs. Distinct from repetition_stats (within-doc repeats) and
+    dedup_ngram_jaccard (pairwise similarity): this is a corpus-wide
+    document-frequency join. Two shuffles (shingle df-count, join
+    back + per-doc agg), both keyed by bounded-width columns."""
+    from mapreducewordoccurences_spark.dedup.ngram import shingles_df
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles_df(docs, id_col="doc_id", text_col="text", n=5)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    joined = sh.join(dfreq, "shingle")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(F.when(F.col("df") >= 2, 1)).alias("n_common"),
+        (
+            F.count(F.when(F.col("df") >= 2, 1)) / F.count(F.lit(1))
+        ).alias("boilerplate_ratio"),
+    )
+
+
+@register(
+    "token_entropy_docs",
+    """
+    WITH tf AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           SUM(c) AS n_tokens,
+           count(*) AS n_distinct,
+           CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                      - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 4)
+                AS DOUBLE) AS entropy,
+           count(*) / SUM(c) AS ttr
+    FROM tf GROUP BY doc_id
+    """,
+)
+def q_token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution plus
+    type-token ratio — low-entropy docs are degenerate/repetitive
+    (keyword stuffing, generation loops) and high-TTR ultra-short
+    docs are noise; both are standard pre-training quality gates.
+    H = ln(n) - Σ c·ln(c)/n over exact integer counts (the only
+    floats are the closing ln/divide, rounded to 4). One
+    (doc, token) aggregation, one per-doc rollup — shuffles share
+    the doc key prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens("text", lowercase=True)).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            4,
+        ).alias("entropy"),
+        (F.count(F.lit(1)) / n).alias("ttr"),
+    )
+
+
+@register(
+    "mad_outlier_orders",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderpriority, m.med,
+             abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ), mad AS (
+      SELECT o_orderpriority, quantile_disc(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.o_orderpriority,
+           count(*) AS n_orders,
+           min(d.med) AS median_price,
+           min(m.mad) AS mad_price,
+           count(CASE WHEN d.adev > 3 * m.mad THEN 1 END) AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def q_mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per priority class: median + median
+    absolute deviation (both exact percentile_disc — actual data
+    elements, bit-portable), then count of orders beyond 3 MAD.
+    Mean/stddev outlier gates break on the very outliers they hunt;
+    MAD doesn't. Two grouped percentile passes + two BROADCAST joins
+    (the per-class stats are group-cardinality-sized), so the fact
+    table never shuffles beyond the grouped aggregations."""
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("med").alias("median_price"),
+            F.min("mad").alias("mad_price"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+@register(
+    "temperature_source_weights",
+    """
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), pw AS (
+      SELECT source, n_docs, n_tokens,
+             trunc(pow(n_tokens, 0.7) * 1e6) / 1e6 AS w
+      FROM per
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+             CAST(sum(CAST(trunc(w * 1e6) AS BIGINT)) AS BIGINT) AS wt_fp
+      FROM pw
+    )
+    SELECT source, n_docs, n_tokens,
+           n_tokens / t AS p_raw,
+           CAST(ROUND(w / (wt_fp / 1e6), 6) AS DOUBLE) AS p_temp
+    FROM pw, tot
+    """,
+)
+def q_temperature_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (the multilingual/multi-
+    source rebalancing rule of XLM-R / mT5: p_s ∝ tokens_s^α, α=0.7)
+    — upweights tail sources without flattening the mix entirely.
+    Complements source_mix_weights (uniform mixture). The per-source
+    table is group-cardinality-sized, so the normalizing constant is
+    a broadcast scalar; pow() is truncated to 6 digits before the
+    fixed-point normalizer sum so the output is engine-portable."""
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokens("text", lowercase=True)).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    pw = per.withColumn(
+        "w",
+        F.expr("CAST(pow(n_tokens, 0.7) * 1e6 AS BIGINT)") / F.lit(1e6),
+    )
+    tot = pw.agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.sum(F.expr("CAST(w * 1e6 AS BIGINT)")).cast("bigint").alias("wt_fp"),
+    )
+    return pw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("t")).alias("p_raw"),
+        F.round(F.col("w") / (F.col("wt_fp") / F.lit(1e6)), 6).alias("p_temp"),
+    )
