@@ -80,6 +80,14 @@ EXTRA = [
     "kfold_assignment_counts",
     "xty_embeddings_label",
     "corr_quantity_price_by_flag",
+    "snapshot_diff_orders",
+    "scd2_customer_priority",
+    "time_weighted_avg_user_value",
+    "sliding_distinct_users_3d",
+    "boilerplate_shingle_ratio",
+    "token_entropy_docs",
+    "mad_outlier_orders",
+    "temperature_source_weights",
 ]
 
 
