@@ -88,6 +88,10 @@ EXTRA = [
     "token_entropy_docs",
     "mad_outlier_orders",
     "temperature_source_weights",
+    "dedup_containment",
+    "rolling_zscore_events",
+    "new_vs_returning_users_daily",
+    "interpurchase_time_stats",
 ]
 
 

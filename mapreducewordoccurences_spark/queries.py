@@ -5123,3 +5123,213 @@ def q_temperature_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") / F.col("t")).alias("p_raw"),
         F.round(F.col("w") / (F.col("wt_fp") / F.lit(1e6)), 6).alias("p_temp"),
     )
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+             )) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+            FROM documents)
+      WHERE len(s) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i / least(x.n, y.n) AS containment,
+           x.n AS n_shingles_a, y.n AS n_shingles_b
+    FROM inter JOIN sizes x ON x.doc_id = doc_a
+               JOIN sizes y ON y.doc_id = doc_b
+    WHERE i / least(x.n, y.n) >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set containment C(A,B) = |A∩B| / min(|A|,|B|)
+    (dedup/ngram.py ngram_containment_pairs): catches a short doc
+    embedded verbatim in a long one — high containment, LOW Jaccard
+    (the union is dominated by the long side), so symmetric near-dup
+    structurally misses it (Broder 1997's resemblance/containment
+    split). Shares the inverted-index candidate machinery with
+    dedup_ngram_jaccard: same posting-list cap, same single
+    8-byte-key shuffle."""
+    from mapreducewordoccurences_spark.dedup.ngram import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3, threshold=0.9, max_shingle_df=64,
+    )
+
+
+@register(
+    "rolling_zscore_events",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ), win AS (
+      SELECT user_id, event_id, v,
+             SUM(CAST(trunc(v * 1e6) AS BIGINT)) OVER w AS s1,
+             SUM(CAST(trunc(v * v * 1e6) AS BIGINT)) OVER w AS s2,
+             COUNT(*) OVER w AS cnt
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, cnt AS n_window,
+           CAST(ROUND((v - (s1 / 1e6) / cnt)
+                      / sqrt((s2 / 1e6) / cnt
+                             - ((s1 / 1e6) / cnt) * ((s1 / 1e6) / cnt)),
+                      4) AS DOUBLE) AS zscore,
+           abs((v - (s1 / 1e6) / cnt)
+               / sqrt((s2 / 1e6) / cnt
+                      - ((s1 / 1e6) / cnt) * ((s1 / 1e6) / cnt))) > 3
+             AS is_anomaly
+    FROM win
+    WHERE cnt >= 8
+      AND (s2 / 1e6) / cnt - ((s1 / 1e6) / cnt) * ((s1 / 1e6) / cnt) > 0
+    """,
+)
+def q_rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event's value scored
+    against the mean/stddev of its user's previous ≤24 events. The
+    moments come from fixed-point integer window sums (exact,
+    order-free); the closing mean/var/z arithmetic is a fixed double
+    sequence both engines share, rounded to 4. The frame EXCLUDES the
+    current row — standard for anomaly scoring (a spike must not
+    inflate its own baseline). One per-user shuffle; window state is
+    a 24-row ring — O(1) per row at any scale."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        ts_micros(events, "ts").alias("us"),
+        F.col("value").cast("double").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-24, -1)
+    )
+    win = base.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.sum(F.expr("CAST(v * 1e6 AS BIGINT)")).over(w).alias("s1"),
+        F.sum(F.expr("CAST(v * v * 1e6 AS BIGINT)")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    mean = (F.col("s1") / F.lit(1e6)) / F.col("cnt")
+    var = (F.col("s2") / F.lit(1e6)) / F.col("cnt") - mean * mean
+    z = (F.col("v") - mean) / F.sqrt(var)
+    return (
+        win.where((F.col("cnt") >= 8) & (var > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("cnt").alias("n_window"),
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 3).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "new_vs_returning_users_daily",
+    """
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+    ), first_seen AS (
+      SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+    )
+    SELECT du.day,
+           count(*) AS n_active,
+           count(CASE WHEN f.first_day = du.day THEN 1 END) AS n_new,
+           count(CASE WHEN f.first_day < du.day THEN 1 END) AS n_returning
+    FROM du JOIN first_seen f USING (user_id)
+    GROUP BY du.day
+    """,
+)
+def q_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day — the product-analytics staple
+    that needs each user's FIRST day joined back to their activity.
+    Both the first-seen aggregate and the join are keyed user_id, so
+    the two shuffles co-locate; the daily rollup is group-bounded.
+    (Retention curves by signup week are the cohort variant:
+    retention_cohorts_weekly.)"""
+    events = _t(spark, sf_dir, "events")
+    du = (
+        events.select(
+            ts_micros(events, "ts").alias("__us"), "user_id"
+        )
+        .select(F.expr("__us div 86400000000").alias("day"), "user_id")
+        .distinct()
+    )
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.when(F.col("first_day") == F.col("day"), 1)).alias("n_new"),
+            F.count(F.when(F.col("first_day") < F.col("day"), 1)).alias(
+                "n_returning"
+            ),
+        )
+    )
+
+
+@register(
+    "interpurchase_time_stats",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT user_id,
+             (us - lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id)) // 1000000 AS gap_s
+      FROM p
+    )
+    SELECT user_id,
+           count(*) AS n_gaps,
+           quantile_disc(gap_s, 0.5) AS median_gap_s,
+           min(gap_s) AS min_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_interpurchase_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time distribution per user (purchase cadence):
+    lag() gaps in integer seconds, then exact percentile_disc median
+    — the robust center for heavy-tailed inter-arrival times. One
+    per-user shuffle shared by the window and the aggregate."""
+    events = _t(spark, sf_dir, "events")
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id", ts_micros(events, "ts").alias("us"), "event_id"
+    )
+    gaps = p.select(
+        "user_id",
+        F.expr("(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) div 1000000").alias(
+            "gap_s"
+        ),
+    )
+    return (
+        gaps.where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)"
+            ).alias("median_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )

@@ -120,3 +120,23 @@ def test_time_weighted_avg_vs_plain_mean_on_bursts(spark):
     mean = df.agg(F.avg("value")).collect()[0][0]
     assert twa > 90.0  # 100 held for 990 of 1000 seconds
     assert mean < 20.0
+
+
+def test_containment_catches_embedded_doc(spark):
+    from mapreducewordoccurences_spark.dedup.ngram import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words entirely different here")],
+        "doc_id int, text string",
+    )
+    cont = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0  # short fully embedded
+    # symmetric Jaccard misses the same pair at any reasonable threshold
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert jac == []

@@ -24,6 +24,8 @@ REPRESENTATIVE = [
     "sessionize_events",
     "dedup_minhash_lsh",
     "pack_documents_to_sequences",
+    "scd2_customer_priority",
+    "time_weighted_avg_user_value",
 ]
 
 
