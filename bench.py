@@ -92,6 +92,8 @@ EXTRA = [
     "rolling_zscore_events",
     "new_vs_returning_users_daily",
     "interpurchase_time_stats",
+    "basket_part_pairs_lift",
+    "event_transition_matrix",
 ]
 
 

@@ -4937,11 +4937,17 @@ def q_boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs. Distinct from repetition_stats (within-doc repeats) and
     dedup_ngram_jaccard (pairwise similarity): this is a corpus-wide
     document-frequency join. Two shuffles (shingle df-count, join
-    back + per-doc agg), both keyed by bounded-width columns."""
+    back + per-doc agg); shingles are folded to 64-bit xxhash64
+    before either shuffle so the exchanges carry 8-byte longs, not
+    ~5-word strings (the same ~3× exchange cut the Jaccard tier
+    uses; collision odds ~n²/2⁶⁴ are far below any gate's
+    sensitivity)."""
     from mapreducewordoccurences_spark.dedup.ngram import shingles_df
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles_df(docs, id_col="doc_id", text_col="text", n=5)
+    sh = shingles_df(docs, id_col="doc_id", text_col="text", n=5).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     joined = sh.join(dfreq, "shingle")
     return joined.groupBy("doc_id").agg(
@@ -5332,4 +5338,121 @@ def q_interpurchase_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_s").alias("min_gap_s"),
             F.max("gap_s").alias("max_gap_s"),
         )
+    )
+
+
+@register(
+    "basket_part_pairs_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM b
+    ), supp AS (
+      SELECT l_partkey, count(*) AS c FROM b GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, bb.l_partkey AS part_b, count(*) AS c_ab
+      FROM b a JOIN b bb
+        ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, c_ab,
+           c_ab / sa.c AS confidence_a_to_b,
+           (c_ab * n.n_orders) / (sa.c * sb.c) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.l_partkey = part_a
+    JOIN supp sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    """,
+)
+def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items: support,
+    confidence and lift for every part pair co-occurring in ≥2 orders.
+    Pair generation is a self-join CO-KEYED ON THE ORDER — the blow-up
+    is bounded by basket_size²/2 per order (baskets are small by
+    nature), never by part popularity, so the plan survives any order
+    count. Per-part supports and the order total are
+    group-cardinality-sized BROADCAST sides; lift/confidence are
+    single integer divides (bit-portable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    supp = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    bb = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(bb, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "c_ab",
+            (F.col("c_ab") / F.col("ca")).alias("confidence_a_to_b"),
+            ((F.col("c_ab") * F.col("n_orders")) / (F.col("ca") * F.col("cb"))).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           n_transitions / SUM(n_transitions) OVER (PARTITION BY from_type)
+             AS prob
+    FROM c
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next_type | type) — session-flow modeling, anomaly
+    baselines, synthetic-trace generation all start here. One
+    per-user shuffle for the lead(), one bounded-cardinality
+    aggregation; the row-normalization window runs on the
+    #types²-sized aggregate, not the events. The normalizing SUM is
+    over integer counts (exact), prob is one int/int divide."""
+    events = _t(spark, sf_dir, "events")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                ts_micros(events, "ts"), F.col("event_id")
+            )
+        )
+        .alias("to_type"),
+    )
+    c = (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions") / F.sum("n_transitions").over(w)).alias("prob"),
     )
