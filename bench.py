@@ -94,6 +94,8 @@ EXTRA = [
     "interpurchase_time_stats",
     "basket_part_pairs_lift",
     "event_transition_matrix",
+    "near_dedup_keepset",
+    "lateral_top2_orders_per_customer",
 ]
 
 

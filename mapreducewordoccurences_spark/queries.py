@@ -5456,3 +5456,147 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         (F.col("n_transitions") / F.sum("n_transitions").over(w)).alias("prob"),
     )
+
+
+@register(
+    "near_dedup_keepset",
+    """
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f
+    ), tagged AS (
+      SELECT fp.doc_id, fp.source, fp.doc_id <> k.keep_id AS drop_exact
+      FROM fp JOIN keep k ON fp.f = k.f
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+             )) AS shingle
+      FROM (SELECT d.doc_id, regexp_extract_all(lower(d.text), '[a-z0-9]+') AS s
+            FROM documents d JOIN tagged t
+              ON d.doc_id = t.doc_id AND NOT t.drop_exact)
+      WHERE len(s) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM inter JOIN sizes x ON x.doc_id = doc_a
+                 JOIN sizes y ON y.doc_id = doc_b
+      WHERE i / (x.n + y.n - i) >= 0.8
+    ), undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach AS (
+      SELECT src AS node, src AS comp FROM undirected
+      UNION
+      SELECT u.dst AS node, r.comp
+      FROM reach r JOIN undirected u ON u.src = r.node
+      WHERE r.comp < u.dst
+    ), comp AS (
+      SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    ), status AS (
+      SELECT t.doc_id, t.source, t.drop_exact,
+             c.node IS NOT NULL AND c.comp <> t.doc_id AS drop_near
+      FROM tagged t LEFT JOIN comp c ON c.node = t.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(CASE WHEN drop_exact THEN 1 END) AS n_dropped_exact,
+           count(CASE WHEN NOT drop_exact AND drop_near THEN 1 END)
+             AS n_dropped_near,
+           count(CASE WHEN NOT drop_exact AND NOT drop_near THEN 1 END)
+             AS n_kept
+    FROM status GROUP BY source
+    """,
+)
+def q_near_dedup_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup cascade, the decision a training pipeline
+    actually ships: exact-fingerprint dedup first (cheap, catches
+    byte-dups), then n-gram Jaccard near-dup ON THE EXACT SURVIVORS
+    ONLY (the expensive tier never sees content the cheap tier
+    already killed), connected components to resolve transitive
+    near-dup chains, min-id survivorship, and a per-source keep/drop
+    audit. Composes dedup/exact.py + dedup/ngram.py +
+    dedup/clusters.py. At corpus scale the Jaccard tier swaps for
+    MinHash-LSH banding (dedup_minhash_lsh) with identical
+    downstream plumbing — candidates → components → keep-set."""
+    from mapreducewordoccurences_spark.dedup.clusters import connected_components
+    from mapreducewordoccurences_spark.dedup.exact import doc_fingerprint
+    from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", doc_fingerprint("text").alias("f")
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    tagged = fp.join(keep, "f").select(
+        "doc_id", "source", (F.col("doc_id") != F.col("keep_id")).alias("drop_exact")
+    )
+    survivors = docs.join(
+        tagged.where(~F.col("drop_exact")).select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = ngram_jaccard_pairs(survivors, n=3, threshold=0.8, max_shingle_df=64)
+    cc = connected_components(pairs)
+    status = tagged.join(
+        cc.select(
+            F.col("node").alias("doc_id"),
+            (F.col("node") != F.col("component")).alias("__near"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "source",
+        "drop_exact",
+        F.coalesce(F.col("__near"), F.lit(False)).alias("drop_near"),
+    )
+    return status.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("drop_exact"), 1)).alias("n_dropped_exact"),
+        F.count(F.when(~F.col("drop_exact") & F.col("drop_near"), 1)).alias(
+            "n_dropped_near"
+        ),
+        F.count(F.when(~F.col("drop_exact") & ~F.col("drop_near"), 1)).alias(
+            "n_kept"
+        ),
+    )
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table) —
+    the parser/decorrelation surface. Catalyst rewrites the
+    correlated ORDER BY … LIMIT 2 into a rank-over-partition with
+    map-side WindowGroupLimit pruning + one equi-join — the exact
+    plan a hand-written top-k-per-group would get, so the SQL sugar
+    costs nothing at scale (verified via explain: no per-row
+    re-execution, no nested loop)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
