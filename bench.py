@@ -96,6 +96,9 @@ EXTRA = [
     "event_transition_matrix",
     "near_dedup_keepset",
     "lateral_top2_orders_per_customer",
+    "chi2_lang_source",
+    "psi_price_drift",
+    "ks_price_drift",
 ]
 
 

@@ -5600,3 +5600,140 @@ def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "chi2_lang_source",
+    """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS observed
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, observed,
+           CAST(ROUND(CAST(SUM(observed) OVER (PARTITION BY lang) AS DOUBLE)
+                      * SUM(observed) OVER (PARTITION BY source)
+                      / SUM(observed) OVER (), 6) AS DOUBLE) AS expected,
+           CAST(ROUND(
+             (observed - CAST(SUM(observed) OVER (PARTITION BY lang) AS DOUBLE)
+                         * SUM(observed) OVER (PARTITION BY source)
+                         / SUM(observed) OVER ())
+             * (observed - CAST(SUM(observed) OVER (PARTITION BY lang) AS DOUBLE)
+                           * SUM(observed) OVER (PARTITION BY source)
+                           / SUM(observed) OVER ())
+             / (CAST(SUM(observed) OVER (PARTITION BY lang) AS DOUBLE)
+                * SUM(observed) OVER (PARTITION BY source)
+                / SUM(observed) OVER ()), 6) AS DOUBLE) AS chi2_contrib
+    FROM cells
+    """,
+)
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the lang × source
+    contingency table (operators/drift.py chi2_contingency):
+    per-cell observed vs expected-under-independence and the (O-E)²/E
+    contribution — which segment drifted, not just whether. The only
+    data-scale work is the cell count; marginals are windows over the
+    cardinality²-bounded cell table."""
+    from mapreducewordoccurences_spark.operators.drift import chi2_contingency
+
+    return chi2_contingency(
+        _t(spark, sf_dir, "documents"), row_col="lang", col_col="source"
+    )
+
+
+@register(
+    "psi_price_drift",
+    """
+    WITH a AS (
+      SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             count(*) AS na
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ), b AS (
+      SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             count(*) AS nb
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    ), terms AS (
+      SELECT na, nb,
+             CAST(trunc(
+               (greatest(na / SUM(na) OVER (), 1e-6)
+                - greatest(nb / SUM(nb) OVER (), 1e-6))
+               * ln(greatest(na / SUM(na) OVER (), 1e-6)
+                    / greatest(nb / SUM(nb) OVER (), 1e-6)) * 1e8
+             ) AS BIGINT) AS term_fp
+      FROM j
+    )
+    SELECT SUM(term_fp) / 1e8 AS psi,
+           count(*) AS n_buckets,
+           SUM(na) AS n_a,
+           SUM(nb) AS n_b
+    FROM terms
+    """,
+)
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between finished ('F') and open
+    ('O') orders' price distributions (operators/drift.py psi) — THE
+    industry drift gate between scoring batches (<0.1 stable, >0.25
+    major shift). Two bucketed counts at data scale; all PSI terms
+    live on the range/width-bounded bucket axis, truncated to 1e-8
+    fixed point before an order-free integer sum."""
+    from mapreducewordoccurences_spark.operators.drift import psi
+
+    orders = _t(spark, sf_dir, "orders")
+    return psi(
+        orders.where(F.col("o_orderstatus") == "F"),
+        orders.where(F.col("o_orderstatus") == "O"),
+        value_col="o_totalprice",
+        bucket_width=25000.0,
+    )
+
+
+@register(
+    "ks_price_drift",
+    """
+    WITH a AS (
+      SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+             count(*) AS na
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ), b AS (
+      SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+             count(*) AS nb
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    ), ecdf AS (
+      SELECT bucket, na, nb,
+             abs(SUM(na) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                   / SUM(na) OVER ()
+                 - SUM(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                   / SUM(nb) OVER ()) AS d
+      FROM j
+    )
+    SELECT CAST(ROUND(max(d), 6) AS DOUBLE) AS ks_stat,
+           min(CASE WHEN d = (SELECT max(d) FROM ecdf) THEN bucket END)
+             AS at_bucket,
+           SUM(na) AS n_a,
+           SUM(nb) AS n_b
+    FROM ecdf
+    """,
+)
+def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-ECDF Kolmogorov-Smirnov distance between the two order
+    populations (operators/drift.py ks_grid): classical exact KS
+    needs BOTH samples globally sorted — a non-starter at 100 TB —
+    so the ECDFs are evaluated on a fixed bucket grid and the
+    cumulative pass is a window over the range/width-bounded bucket
+    axis. Discretization error ≤ the largest single-bucket mass."""
+    from mapreducewordoccurences_spark.operators.drift import ks_grid
+
+    orders = _t(spark, sf_dir, "orders")
+    return ks_grid(
+        orders.where(F.col("o_orderstatus") == "F"),
+        orders.where(F.col("o_orderstatus") == "O"),
+        value_col="o_totalprice",
+        bucket_width=10000.0,
+    )
