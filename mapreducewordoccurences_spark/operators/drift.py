@@ -86,17 +86,42 @@ def psi(
     range/width-sized. Per-bucket terms are truncated at 1e-8 fixed
     point and integer-summed — order-free, engine-portable.
     """
-    def bucketed(d: DataFrame, name: str) -> DataFrame:
-        return d.select(
-            F.floor(F.col(value_col) / bucket_width).cast("bigint").alias("bucket")
-        ).groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
+    return psi_from_bucket_counts(
+        bucket_counts(df_a, value_col, bucket_width, "na"),
+        bucket_counts(df_b, value_col, bucket_width, "nb"),
+        floor_p=floor_p,
+    )
 
-    a = bucketed(df_a, "na")
-    b = bucketed(df_b, "nb")
+
+def bucket_counts(
+    df: DataFrame, value_col: str, bucket_width: float, name: str = "n"
+) -> DataFrame:
+    """Fixed-width bucket histogram (bucket, count) — the one
+    data-scale pass every drift statistic starts from. Freeze this
+    for a reference population (write it out at train time) and the
+    serving-side comparison never rescans training data."""
+    return (
+        df.select(
+            F.floor(F.col(value_col) / bucket_width).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
+
+
+def psi_from_bucket_counts(
+    a: DataFrame,
+    b: DataFrame,
+    floor_p: float = 1e-6,
+) -> DataFrame:
+    """PSI from two (bucket, count) histograms — the recombination
+    half of ``psi``, exposed so a streaming monitor can score each
+    micro-batch against a FROZEN reference histogram without
+    re-bucketing the reference (streaming/drift_monitor.py)."""
     joined = a.join(b, "bucket", "full_outer").select(
         "bucket",
-        F.coalesce("na", F.lit(0)).alias("na"),
-        F.coalesce("nb", F.lit(0)).alias("nb"),
+        F.coalesce(a.columns[1], F.lit(0)).alias("na"),
+        F.coalesce(b.columns[1], F.lit(0)).alias("nb"),
     )
     w = Window.partitionBy()
     p = F.greatest(F.col("na") / F.sum("na").over(w), F.lit(float(floor_p)))
