@@ -99,6 +99,7 @@ EXTRA = [
     "chi2_lang_source",
     "psi_price_drift",
     "ks_price_drift",
+    "bigram_logprob_scores",
 ]
 
 

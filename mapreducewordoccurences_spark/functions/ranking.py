@@ -208,3 +208,68 @@ def pmi_collocations(
         .join(F.broadcast(tot_big), how="cross")
         .select("word_a", "word_b", "pair_count", pmi.alias("pmi"))
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    Laplace-smoothed BIGRAM model — the order-2 fluency signal.
+    Unigram NLL (unigram_logprob) scores word CHOICE; this scores
+    word ORDER: scrambled or concatenated text keeps its unigram
+    profile but lights up here.
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c_prefix(w1) + V)`` with V the
+    corpus vocabulary size — add-one smoothing is required because a
+    doc's bigram may be corpus-unique, and the +V denominator keeps
+    the distribution proper.
+
+    Plan: per-doc bigram counts (one shuffle keyed (doc, w1, w2));
+    the corpus bigram model derives FROM that aggregate (second
+    shuffle over distinct-pair rows, not the token stream); prefix
+    counts derive from the model; V is a broadcast scalar. The model
+    join keys on (w1, w2) — distinct-pair cardinality, the natural
+    Zipf-truncated size — then one groupBy(id) closes. Same
+    broadcast-model shape as the unigram scorer, one order higher.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(text_col), "[^a-z0-9]+").alias("__t"),
+    ).select(
+        id_col, F.filter("__t", lambda w: F.length(w) > 0).alias("__t")
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("w1"),
+                        F.element_at("__t", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("__p"),
+    ).select(id_col, "__p.w1", "__p.w2")
+    dbg = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cbg = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    cp = cbg.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab_size = (
+        toks.select(F.explode("__t").alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    logp = F.log((F.col("cb") + 1) / (F.col("cw") + F.col("v")))
+    return (
+        dbg.join(F.broadcast(cbg), ["w1", "w2"])
+        .join(F.broadcast(cp), "w1")
+        .join(F.broadcast(vocab_size), how="cross")
+        .groupBy(id_col)
+        .agg(
+            (-F.sum(F.col("c") * logp) / F.sum("c")).alias("mean_nll"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )

@@ -5737,3 +5737,42 @@ def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="o_totalprice",
         bucket_width=10000.0,
     )
+
+
+@register(
+    "bigram_logprob_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), dbg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, count(*) AS c
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+      GROUP BY 1, 2, 3
+    ), cbg AS (
+      SELECT w1, w2, SUM(c) AS cb FROM dbg GROUP BY 1, 2
+    ), cp AS (
+      SELECT w1, SUM(cb) AS cw FROM cbg GROUP BY 1
+    ), v AS (
+      SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)
+    )
+    SELECT doc_id,
+           CAST(ROUND(-SUM(c * ln((cb + 1) / (cw + v.v))) / SUM(c), 4)
+                AS DOUBLE) AS mean_nll,
+           SUM(c) AS n_bigrams
+    FROM dbg JOIN cbg USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean NLL per doc under the corpus Laplace-smoothed bigram LM
+    (functions/ranking.py bigram_logprob) — the word-ORDER fluency
+    gate (scrambled text passes the unigram gate, fails this one).
+    Corpus model broadcasts at distinct-pair cardinality."""
+    from mapreducewordoccurences_spark.functions.ranking import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("mean_nll", 4).alias("mean_nll"), "n_bigrams"
+    )
