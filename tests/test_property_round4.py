@@ -74,3 +74,72 @@ def test_bloom_membership_never_false_negative(spark, present, probes):
     for s in set(probes):
         if s in set(present):
             assert flagged[s] is True  # no false negatives, ever
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # observation log: (key, attr, t, unique tb added below)
+        st.tuples(st.integers(0, 5), st.sampled_from("ABC"), st.integers(0, 20)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_scd2_equals_pandas_reference(spark, obs):
+    from mapreducewordoccurences_spark.operators.cdc import scd2_build
+
+    rows = [(k, a, t, i) for i, (k, a, t) in enumerate(obs)]
+    df = spark.createDataFrame(rows, "k int, attr string, t long, tb long").repartition(5)
+    got = {
+        (r.k, r.version): (r.attr, r.valid_from, r.valid_to, r.is_current,
+                           r.n_observations)
+        for r in scd2_build(df, "k", "attr", "t", "tb").collect()
+    }
+
+    # reference: sort per key, walk runs
+    want = {}
+    bykey = collections.defaultdict(list)
+    for k, a, t, tb in rows:
+        bykey[k].append((t, tb, a))
+    for k, items in bykey.items():
+        items.sort()
+        runs = []  # (attr, valid_from, n)
+        for t, tb, a in items:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, t, 1])
+        for i, (a, vf, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want[(k, i + 1)] = (a, vf, vt, vt is None, n)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=25),
+    st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=25),
+)
+def test_snapshot_diff_equals_reference(spark, old_map, new_map):
+    from mapreducewordoccurences_spark.operators.cdc import snapshot_diff
+
+    old_rows = [(k, v) for k, v in old_map.items()]
+    new_rows = [(k, v) for k, v in new_map.items()]
+    if not old_rows or not new_rows:
+        return
+    old = spark.createDataFrame(old_rows, "k int, v int")
+    new = spark.createDataFrame(new_rows, "k int, v int")
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    want = {}
+    for k in set(old_map) | set(new_map):
+        if k not in old_map:
+            want[k] = "insert"
+        elif k not in new_map:
+            want[k] = "delete"
+        elif old_map[k] == new_map[k]:
+            want[k] = "unchanged"
+        else:
+            want[k] = "update"
+    assert got == want
