@@ -100,6 +100,7 @@ EXTRA = [
     "psi_price_drift",
     "ks_price_drift",
     "bigram_logprob_scores",
+    "winsorized_price_stats",
 ]
 
 

@@ -5776,3 +5776,69 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.round("mean_nll", 4).alias("mean_nll"), "n_bigrams"
     )
+
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH bounds AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.01) AS lo,
+             quantile_disc(o_totalprice, 0.99) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           min(b.lo) AS p01,
+           min(b.hi) AS p99,
+           count(CASE WHEN o.o_totalprice < b.lo
+                        OR o.o_totalprice > b.hi THEN 1 END) AS n_clipped,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             / count(*) AS mean_raw,
+           CAST(SUM(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+                         AS DECIMAL(28,4))) AS DOUBLE)
+             / count(*) AS mean_winsorized
+    FROM orders o JOIN bounds b USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip at the exact p01/p99 per class) — the
+    robust-preprocessing step before any mean-based feature: compare
+    mean_raw vs mean_winsorized to see the tail's pull. Exact
+    percentile_disc bounds (actual data elements, bit-portable)
+    BROADCAST back onto the fact table; the clipped mean uses the
+    engine's decimal-exact sum protocol. Two grouped passes, one
+    broadcast join — the fact table never re-shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.01) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        orders.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("lo").alias("p01"),
+            F.min("hi").alias("p99"),
+            F.count(
+                F.when(
+                    (F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi")),
+                    1,
+                )
+            ).alias("n_clipped"),
+            (decimal_sum("o_totalprice", scale=4) / F.count(F.lit(1))).alias(
+                "mean_raw"
+            ),
+            (F.sum(clipped.cast("decimal(28,4)")).cast("double") / F.count(F.lit(1))).alias(
+                "mean_winsorized"
+            ),
+        )
+    )

@@ -75,8 +75,38 @@ def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataF
     return spark.read.text(path, wholetext=whole_file)
 
 
-def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True, sep: str = ",") -> DataFrame:
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """CSV source with an explicit malformed-row policy — at crawl
+    scale some rows ARE broken, and silently dropping them is a data
+    bug. ``mode``:
+
+    - PERMISSIVE (default): broken rows parse to nulls; pass
+      ``corrupt_col`` to also capture the raw line in that column
+      (quarantine-table pattern: filter it IS NOT NULL, write to a
+      review sink, continue the pipeline on the clean rows).
+    - DROPMALFORMED: silently discard broken rows (counted only by
+      comparing counts — prefer PERMISSIVE + quarantine).
+    - FAILFAST: abort the job on the first broken row (contract
+      ingestion).
+
+    ``corrupt_col`` requires an explicit schema (Spark's contract for
+    columnNameOfCorruptRecord: the column must be declared in the
+    schema as string). Spark refuses plans that reference ONLY the
+    corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache() the
+    frame before counting/quarantining on it alone.
+    """
     reader = spark.read.option("header", header).option("sep", sep)
+    reader = reader.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:
