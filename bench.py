@@ -101,6 +101,9 @@ EXTRA = [
     "ks_price_drift",
     "bigram_logprob_scores",
     "winsorized_price_stats",
+    "bucketed_auc_embeddings",
+    "weekly_churn_users",
+    "pareto_price_buckets",
 ]
 
 

@@ -5842,3 +5842,188 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "bucketed_auc_embeddings",
+    """
+    WITH scored AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 100) AS BIGINT) AS bucket,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ), hist AS (
+      SELECT bucket,
+             count(CASE WHEN pos = 1 THEN 1 END) AS np,
+             count(CASE WHEN pos = 0 THEN 1 END) AS nn
+      FROM scored GROUP BY bucket
+    ), cum AS (
+      SELECT np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY bucket
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_nn_below
+      FROM hist
+    )
+    SELECT SUM(np * (2 * cum_nn_below + nn))
+             / (2.0 * SUM(np) * SUM(nn)) AS auc,
+           SUM(np) AS n_pos,
+           SUM(nn) AS n_neg,
+           count(*) AS n_buckets
+    FROM cum
+    """,
+)
+def q_bucketed_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval AUC (Mann-Whitney U) at scale: classical AUC ranks
+    every score globally — a full sort. On a fixed score grid the
+    statistic is EXACT for the bucketed scores: AUC = Σ_b
+    n_pos(b)·(2·cum_neg(<b) + n_neg(b)) / (2·P·N), all integer
+    arithmetic until one closing divide (ties inside a bucket get the
+    standard ½ credit). The only data-scale pass is the per-bucket
+    label count; the cumulative runs on the bucket axis. Here: score
+    = first embedding component, positive = odd label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 100)
+        .cast("bigint")
+        .alias("bucket"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+    )
+    hist = scored.groupBy("bucket").agg(
+        F.count(F.when(F.col("pos") == 1, 1)).alias("np"),
+        F.count(F.when(F.col("pos") == 0, 1)).alias("nn"),
+    )
+    wbelow = (
+        Window.partitionBy()
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wbelow), F.lit(0)).alias("cum_nn_below"),
+    )
+    return cum.agg(
+        (
+            F.sum(F.col("np") * (2 * F.col("cum_nn_below") + F.col("nn")))
+            / (F.lit(2.0) * F.sum("np") * F.sum("nn"))
+        ).alias("auc"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+@register(
+    "weekly_churn_users",
+    """
+    WITH wu AS (
+      SELECT DISTINCT epoch_us(ts) // 604800000000 AS week, user_id FROM events
+    ), weeks AS (SELECT DISTINCT week FROM wu)
+    SELECT wu.week,
+           count(*) AS n_active,
+           count(CASE WHEN nxt.user_id IS NULL
+                        AND EXISTS (SELECT 1 FROM weeks w2
+                                    WHERE w2.week = wu.week + 1)
+                      THEN 1 END) AS n_churned,
+           EXISTS (SELECT 1 FROM weeks w2 WHERE w2.week = wu.week + 1)
+             AS has_next_week
+    FROM wu LEFT JOIN wu nxt
+      ON nxt.week = wu.week + 1 AND nxt.user_id = wu.user_id
+    GROUP BY wu.week, has_next_week
+    """,
+)
+def q_weekly_churn_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: users active in week w with NO activity in week
+    w+1 (only meaningful when week w+1 is observed — flagged). The
+    churn probe is a self LEFT join of the distinct (week, user)
+    table shifted by one week — both sides user-keyed, co-partitioned;
+    nothing event-scale joins. Complements retention_cohorts_weekly
+    (which tracks return-to-product from a signup cohort)."""
+    events = _t(spark, sf_dir, "events")
+    wu = (
+        events.select(ts_micros(events, "ts").alias("__us"), "user_id")
+        .select(F.expr("__us div 604800000000").alias("week"), "user_id")
+        .distinct()
+    )
+    weeks = wu.select("week").distinct()
+    nxt = wu.select((F.col("week") - 1).alias("week"), F.col("user_id").alias("u2"))
+    has_next = weeks.select((F.col("week") - 1).alias("week")).distinct().withColumn(
+        "has_next_week", F.lit(True)
+    )
+    joined = (
+        wu.join(nxt, (wu["week"] == nxt["week"]) & (wu["user_id"] == nxt["u2"]), "left")
+        .select(wu["week"].alias("week"), wu["user_id"].alias("user_id"), "u2")
+        .join(F.broadcast(has_next), "week", "left")
+        .select(
+            "week",
+            "user_id",
+            "u2",
+            F.coalesce("has_next_week", F.lit(False)).alias("has_next_week"),
+        )
+    )
+    return joined.groupBy("week", "has_next_week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count(
+            F.when(F.col("u2").isNull() & F.col("has_next_week"), 1)
+        ).alias("n_churned"),
+    ).select("week", "n_active", "n_churned", "has_next_week")
+
+
+@register(
+    "pareto_price_buckets",
+    """
+    WITH hist AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             count(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS rev
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(rev) AS DOUBLE) AS trev, SUM(n_orders) AS tn FROM hist
+    )
+    SELECT bucket, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / tot.trev AS rev_share,
+           CAST(SUM(rev) OVER (ORDER BY bucket DESC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / tot.trev AS cum_rev_share_from_top,
+           CAST(SUM(n_orders) OVER (ORDER BY bucket DESC
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / tot.tn AS cum_order_share_from_top
+    FROM hist CROSS JOIN tot
+    """,
+)
+def q_pareto_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) curve on the price-bucket axis:
+    walking buckets from the top, what share of revenue do the top
+    x% of orders carry? The classical version ranks every order
+    (global sort); the bucket-grid version is exact per bucket and
+    all cumulative work runs on the range/width-bounded axis.
+    Cumulative sums stay DECIMAL (exact) until the closing share
+    divides, so window-evaluation order can't flip a bit."""
+    orders = _t(spark, sf_dir, "orders")
+    hist = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("rev"),
+    )
+    tot = hist.agg(
+        F.sum("rev").cast("double").alias("trev"),
+        F.sum("n_orders").alias("tn"),
+    )
+    wtop = (
+        Window.partitionBy()
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.col("trev")).alias("rev_share"),
+        (F.sum("rev").over(wtop).cast("double") / F.col("trev")).alias(
+            "cum_rev_share_from_top"
+        ),
+        (F.sum("n_orders").over(wtop).cast("double") / F.col("tn")).alias(
+            "cum_order_share_from_top"
+        ),
+    )
