@@ -104,6 +104,8 @@ EXTRA = [
     "bucketed_auc_embeddings",
     "weekly_churn_users",
     "pareto_price_buckets",
+    "forward_fill_last_purchase",
+    "filtered_agg_orders",
 ]
 
 

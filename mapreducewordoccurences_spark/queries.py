@@ -6037,3 +6037,87 @@ def q_pareto_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_order_share_from_top"
         ),
     )
+
+
+@register(
+    "forward_fill_last_purchase",
+    """
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END)
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS UNBOUNDED PRECEDING) AS purchases_so_far
+    FROM events
+    """,
+)
+def q_forward_fill_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-known-state propagation: at every event, the user's most
+    recent purchase value — ``last_value(... IGNORE NULLS)`` over a
+    running frame, the SQL idiom for forward-fill/LOCF that
+    event-sourced state reconstruction and feature backfills use
+    constantly (NULL rows are the non-purchase events; the frame
+    carries the last non-NULL forward). One per-user shuffle; both
+    windows share the sort. Events before the first purchase yield
+    NULL — correctly unknown, not zero."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_micros(events, "ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select(
+        "user_id",
+        "event_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(w)
+        .alias("purchases_so_far"),
+    )
+
+
+@register(
+    "filtered_agg_orders",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_totalprice > 300000) AS n_large,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+             AS finished_revenue_dec,
+           count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 300000)
+             AS n_large_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 aggregate FILTER clause — per-group conditional
+    aggregation without CASE pyramids or self-joins, including the
+    FILTER + DISTINCT combination a CASE can't express cleanly. One
+    scan, one shuffle; Catalyst folds every filtered aggregate into
+    the same HashAggregate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__fa_orders")
+    df = spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 300000) AS n_large,
+               SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                 FILTER (WHERE o_orderstatus = 'F') AS finished_revenue_dec,
+               count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 300000)
+                 AS n_large_customers
+        FROM __fa_orders
+        GROUP BY o_orderpriority
+        """
+    )
+    return df.withColumn(
+        "finished_revenue_dec", F.col("finished_revenue_dec").cast("double")
+    )
