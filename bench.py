@@ -106,6 +106,8 @@ EXTRA = [
     "pareto_price_buckets",
     "forward_fill_last_purchase",
     "filtered_agg_orders",
+    "hard_negatives_topk",
+    "negative_sampling_pairs",
 ]
 
 

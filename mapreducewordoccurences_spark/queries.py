@@ -6121,3 +6121,123 @@ def q_filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn(
         "finished_revenue_dec", F.col("finished_revenue_dec").cast("double")
     )
+
+
+@register(
+    "hard_negatives_topk",
+    """
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings e ON e.label <> q.label
+      WHERE q.vec_id < 10)
+    WHERE rnk <= 3
+    """,
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most-similar corpus vectors with a DIFFERENT label — the negatives
+    that actually teach the margin (random negatives are trivially
+    far). Same broadcast-probe plan as embedding_cosine_topk with the
+    label-mismatch predicate applied BEFORE scoring (the filter
+    shrinks the candidate stream map-side; nothing is scored then
+    discarded), and the same WindowGroupLimit top-k. IDs+rank output
+    (rank order is float-stable; raw sims aren't bit-portable)."""
+    from mapreducewordoccurences_spark.functions.similarity import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        F.col("label").alias("__qlabel"),
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cvec"),
+            "label",
+        )
+        .join(F.broadcast(q), F.col("label") != F.col("__qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qvec", "__cvec").alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("sim").desc(), F.col("neighbor_id").asc()], 3
+    ).select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+
+
+@register(
+    "negative_sampling_pairs",
+    """
+    WITH n AS (SELECT count(*) AS n FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label, u.i,
+             CAST(concat('0x', substr(md5('neg' || CAST(a.vec_id * 8 + u.i
+                                                        AS VARCHAR)), 1, 4))
+                  AS INT) % n.n AS sampled_id
+      FROM embeddings a CROSS JOIN n, unnest(range(0, 4)) AS u(i)
+    )
+    SELECT anchor_id, CAST(i AS INT) AS i, sampled_id,
+           e.label = anchor_label AS same_label
+    FROM cand JOIN embeddings e ON e.vec_id = cand.sampled_id
+    WHERE sampled_id <> anchor_id
+    """,
+)
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random negative sampling for contrastive
+    training: 4 candidates per anchor drawn by the engine's portable
+    md5 hash family (functions/sampling.py hash_bucket) mod corpus
+    size — reproducible across runs, engines, and repartitioning
+    (rand() would be none of those). Self-collisions drop (standard);
+    same_label flags the accidental-positive rate the loss masks out.
+    Map-side candidate generation; ONE equi-join on the dense id to
+    fetch labels — at 100 TB this join is exchange-free if the corpus
+    is bucketed by id. Complements hard_negatives_topk (mined vs
+    random negatives)."""
+    from mapreducewordoccurences_spark.functions.sampling import hash_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            "n",
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("i").cast("int").alias("i"),
+            (
+                hash_bucket(F.col("anchor_id") * 8 + F.col("i"), salt="neg")
+                % F.col("n")
+            ).alias("sampled_id"),
+        )
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("sampled_id"), F.col("label").alias("__slabel")
+    )
+    return (
+        cand.join(labels, "sampled_id")
+        .where(F.col("sampled_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "i",
+            "sampled_id",
+            (F.col("__slabel") == F.col("anchor_label")).alias("same_label"),
+        )
+    )
