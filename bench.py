@@ -108,6 +108,7 @@ EXTRA = [
     "filtered_agg_orders",
     "hard_negatives_topk",
     "negative_sampling_pairs",
+    "cms_word_counts",
 ]
 
 

@@ -6241,3 +6241,62 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__slabel") == F.col("anchor_label")).alias("same_label"),
         )
     )
+
+
+@register(
+    "cms_word_counts",
+    # Count-min has no DuckDB counterpart, but its acceptance CONTRACT
+    # is one-sided and checkable: estimate ≥ exact (never undercounts)
+    # and estimate ≤ exact + eps·N with probability ≥ confidence. The
+    # exact counts hash-match; the oracle pins cms_ok to TRUE — the
+    # Spark side must prove its sketch honors the bound for the
+    # value-hash to match.
+    """
+    WITH counts AS (
+      SELECT w AS word, count(*) AS exact_cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents)
+      GROUP BY w
+    )
+    SELECT word, exact_cnt, TRUE AS cms_ok
+    FROM counts ORDER BY exact_cnt DESC, word LIMIT 20
+    """,
+)
+def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the 20 hottest words —
+    the mergeable, constant-memory frequency tier next to the exact
+    heavy-hitter op (operators/skew.py). The sketch is a depth·width
+    CELL TABLE (functions/cms.py), built with one bounded-exchange
+    groupBy and probed with a broadcast join — no full (key, count)
+    state anywhere, and sketches of separate streams merge by cell
+    addition. Acceptance per probe: exact ≤ estimate ≤ exact +
+    (e/width)·N (CMS can only overcount) — emitted as cms_ok, which
+    must be uniformly TRUE to hash-match the oracle."""
+    import math
+
+    from mapreducewordoccurences_spark.functions.cms import cms_build, cms_estimate
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    width, depth = 2048, 4
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens("text", lowercase=True)).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = counts.orderBy(F.col("exact_cnt").desc(), "word").limit(20)
+    sketch = cms_build(words, "word", width=width, depth=depth)
+    est = cms_estimate(sketch, top.select("word"), "word", width=width, depth=depth)
+    n_total = words.agg(F.count(F.lit(1)).alias("n"))
+    eps = math.e / width
+    return (
+        top.join(est, "word")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "word",
+            "exact_cnt",
+            (
+                (F.col("cms_estimate") >= F.col("exact_cnt"))
+                & (F.col("cms_estimate") <= F.col("exact_cnt") + F.lit(eps) * F.col("n"))
+            ).alias("cms_ok"),
+        )
+    )

@@ -95,3 +95,48 @@ def test_bloom_prefilter_shrinks_corpus_probe(spark):
 
     out = bloom_incremental_new_unique(batch, base, fpr=0.01)
     assert out.count() == 950
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """CMS one-sided error: estimate >= exact for EVERY key, and the
+    sketch of a union equals the cell-wise sum of the parts."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.functions.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows1 = [(f"k{i % 37}",) for i in range(500)]
+    rows2 = [(f"k{i % 11}",) for i in range(300)]
+    a = spark.createDataFrame(rows1, "w string")
+    b = spark.createDataFrame(rows2, "w string")
+    union = a.unionByName(b)
+
+    exact = collections.Counter(w for w, in rows1 + rows2)
+    probes = spark.createDataFrame([(k,) for k in exact], "w string")
+
+    # small width forces collisions — the bound must still hold
+    width, depth = 64, 4
+    merged = cms_merge(
+        cms_build(a, "w", width, depth), cms_build(b, "w", width, depth)
+    )
+    direct = cms_build(union, "w", width, depth)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    import math
+
+    n = 800
+    eps = math.e / width
+    est = {
+        r["w"]: r["cms_estimate"]
+        for r in cms_estimate(direct, probes, "w", width, depth).collect()
+    }
+    for k, c in exact.items():
+        assert est[k] >= c, f"{k}: undercount {est[k]} < {c}"
+        assert est[k] <= c + eps * n * 4  # loose sanity ceiling
