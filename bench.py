@@ -109,6 +109,7 @@ EXTRA = [
     "hard_negatives_topk",
     "negative_sampling_pairs",
     "cms_word_counts",
+    "welch_ttest_price_by_status",
 ]
 
 

@@ -6300,3 +6300,80 @@ def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cms_ok"),
         )
     )
+
+
+@register(
+    "welch_ttest_price_by_status",
+    """
+    WITH m AS (
+      SELECT o_orderstatus AS grp,
+             count(*) AS n,
+             sum(CAST(trunc(o_totalprice / 1000 * 1e6) AS BIGINT)) / 1e6 AS sx,
+             sum(CAST(trunc((o_totalprice / 1000) * (o_totalprice / 1000) * 1e6)
+                      AS BIGINT)) / 1e6 AS sxx
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ), w AS (
+      SELECT a.n AS na, b.n AS nb,
+             a.sx / a.n AS ma, b.sx / b.n AS mb,
+             (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS va,
+             (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS vb
+      FROM m a JOIN m b ON a.grp = 'F' AND b.grp = 'O'
+    )
+    SELECT na, nb,
+           CAST(ROUND(ma - mb, 6) AS DOUBLE) AS mean_diff_k,
+           CAST(ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS DOUBLE)
+             AS t_stat,
+           CAST(ROUND(pow(va / na + vb / nb, 2)
+                      / (pow(va / na, 2) / (na - 1)
+                         + pow(vb / nb, 2) / (nb - 1)), 2) AS DOUBLE)
+             AS welch_df
+    FROM w
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between finished and open
+    orders' prices (price in thousands to keep the fixed-point sums
+    under 2⁵³): the mean-difference significance test that pairs with
+    the distribution-shape tests (chi2/PSI/KS in operators/drift.py).
+    The five moments per group are order-free fixed-point sums (corr
+    protocol); t-statistic and Welch-Satterthwaite df are a fixed
+    closing double sequence. One grouped pass over the data; the test
+    itself runs on a 2-row aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_orderstatus").alias("grp"),
+        (F.col("o_totalprice") / 1000).alias("x"),
+    )
+    fp = lambda c: F.expr(f"CAST(({c}) * 1e6 AS BIGINT)")  # noqa: E731
+    m = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(fp("x")) / F.lit(1e6)).alias("sx"),
+        (F.sum(fp("x * x")) / F.lit(1e6)).alias("sxx"),
+    )
+    a = m.where(F.col("grp") == "F").select(
+        F.col("n").alias("na"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
+    )
+    b = m.where(F.col("grp") == "O").select(
+        F.col("n").alias("nb"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb")
+    )
+    w = a.crossJoin(b).select(
+        "na",
+        "nb",
+        (F.col("sxa") / F.col("na")).alias("ma"),
+        (F.col("sxb") / F.col("nb")).alias("mb"),
+        ((F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("na")) / (F.col("na") - 1)).alias("va"),
+        ((F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("nb")) / (F.col("nb") - 1)).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    dfree = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    return w.select(
+        "na",
+        "nb",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff_k"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dfree, 2).alias("welch_df"),
+    )
