@@ -110,6 +110,8 @@ EXTRA = [
     "negative_sampling_pairs",
     "cms_word_counts",
     "welch_ttest_price_by_status",
+    "benford_first_digit_prices",
+    "user_value_trend",
 ]
 
 

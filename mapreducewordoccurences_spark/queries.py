@@ -6377,3 +6377,109 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(dfree, 2).alias("welch_df"),
     )
+
+
+@register(
+    "benford_first_digit_prices",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT digit, n,
+           n / tot.t AS observed_p,
+           CAST(ROUND(log10(1 + 1.0 / digit), 6) AS DOUBLE) AS benford_p,
+           CAST(ROUND(abs(n / tot.t - log10(1 + 1.0 / digit)), 6) AS DOUBLE)
+             AS abs_dev
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    classic fraud/fabrication screen (organic multiplicative data
+    follows P(d) = log10(1+1/d); fabricated numbers don't). One
+    digit-bucket count at data scale; the comparison runs on ≤9
+    rows. Leading digit via decimal string head — exact integer
+    route, no float log in the bucketing."""
+    orders = _t(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    benford = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.col("n") / F.col("t")).alias("observed_p"),
+        benford.alias("benford_p"),
+        F.round(
+            F.abs(F.col("n") / F.col("t") - F.log10(1 + 1.0 / F.col("digit"))), 6
+        ).alias("abs_dev"),
+    )
+
+
+@register(
+    "user_value_trend",
+    """
+    WITH base AS (
+      SELECT user_id,
+             (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+    ), m AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(trunc(x * 1e6) AS BIGINT)) / 1e6 AS sx,
+             sum(CAST(trunc(y * 1e6) AS BIGINT)) / 1e6 AS sy,
+             sum(CAST(trunc(x * x * 1e6) AS BIGINT)) / 1e6 AS sxx,
+             sum(CAST(trunc(x * y * 1e6) AS BIGINT)) / 1e6 AS sxy
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+             AS slope_per_day,
+           CAST(ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                                * (sx / n), 6) AS DOUBLE) AS intercept
+    FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend (slope per day, intercept) of the value
+    series — grouped closed-form regression, the "is this metric
+    drifting per entity" primitive behind alerting and cohort health.
+    x is days since 2024-01-01 (small magnitudes keep the fixed-point
+    sums exact); the four moments are order-free long sums (corr
+    protocol) in ONE grouped pass, and the slope algebra is a fixed
+    double sequence. Degenerate series (n<2 or zero x-variance) are
+    excluded. Complements the global ridge fit (functions/pca.py):
+    that is one model over all rows, this is a million tiny models,
+    one per key — no driver state either way."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        ((ts_micros(events, "ts") - F.lit(1704067200000000)) / F.lit(86400000000.0)).alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    fp = lambda c: F.expr(f"CAST(({c}) * 1e6 AS BIGINT)")  # noqa: E731
+    m = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(fp("x")) / F.lit(1e6)).alias("sx"),
+        (F.sum(fp("y")) / F.lit(1e6)).alias("sy"),
+        (F.sum(fp("x * x")) / F.lit(1e6)).alias("sxx"),
+        (F.sum(fp("x * y")) / F.lit(1e6)).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.where((n >= 2) & (n * sxx - sx * sx > 0)).select(
+        "user_id",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+    )
