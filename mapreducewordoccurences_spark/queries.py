@@ -5544,9 +5544,14 @@ def q_near_dedup_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", doc_fingerprint("text").alias("f")
     )
     keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    # three consumers (survivor semi-join, status join, final agg) —
+    # without the persist each re-runs the md5 scan + fingerprint
+    # shuffle; the table is (doc_id, source, bool), corpus-row-count
+    # sized but narrow (same convention as the minhash/ngram persists;
+    # caller/bench clearCache() releases it)
     tagged = fp.join(keep, "f").select(
         "doc_id", "source", (F.col("doc_id") != F.col("keep_id")).alias("drop_exact")
-    )
+    ).persist()
     survivors = docs.join(
         tagged.where(~F.col("drop_exact")).select("doc_id"), "doc_id", "left_semi"
     )
