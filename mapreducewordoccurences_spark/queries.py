@@ -6488,3 +6488,83 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
     )
+
+
+@register(
+    "streaming_psi_monitor_batch",
+    # The ONE streaming-path query the oracle can check: the monitor's
+    # per-batch PSI is pure arithmetic over bucket counts, so the SQL
+    # mirror recomputes what the foreachBatch loop must have written.
+    """
+    WITH a AS (
+      SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS na
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS nb
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    ), terms AS (
+      SELECT na, nb,
+             CAST(trunc(
+               (greatest(na / SUM(na) OVER (), 1e-6)
+                - greatest(nb / SUM(nb) OVER (), 1e-6))
+               * ln(greatest(na / SUM(na) OVER (), 1e-6)
+                    / greatest(nb / SUM(nb) OVER (), 1e-6)) * 1e8
+             ) AS BIGINT) AS term_fp
+      FROM j
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+           SUM(term_fp) / 1e8 AS psi,
+           count(*) AS n_buckets,
+           SUM(na) AS n_batch,
+           SUM(nb) AS n_ref
+    FROM terms
+    """,
+)
+def q_streaming_psi_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor DRIVEN END-TO-END inside a catalog
+    query: freeze a reference histogram (even-user events), run the
+    events parquet through readStream + foreachBatch PSI scoring with
+    trigger(availableNow) — one deterministic micro-batch — and
+    return the metrics row the monitor appended. The oracle recomputes
+    the same PSI relationally, so a value-hash match proves the
+    STREAMING path (source → foreachBatch → sink) computed exactly
+    what batch SQL says it should. Fresh temp checkpoint/metrics dirs
+    per invocation keep reruns deterministic (batch_id is always 0)."""
+    import shutil
+    import tempfile
+
+    from mapreducewordoccurences_spark.streaming.drift_monitor import (
+        freeze_reference,
+        start_psi_monitor,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="psi_monitor_q_")
+    try:
+        ref_dir = f"{work}/ref"
+        metrics = f"{work}/metrics"
+        ckpt = f"{work}/ckpt"
+        freeze_reference(
+            events.where(F.col("user_id") % 2 == 0), "value", 5.0, ref_dir
+        )
+        # file streams need a DIRECTORY source; glob-filter to the one
+        # table file inside the sf dir
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = start_psi_monitor(stream, "value", 5.0, ref_dir, metrics, ckpt)
+        q.awaitTermination(300)
+        out = spark.read.parquet(metrics).select(
+            "batch_id", "psi", "n_buckets", "n_batch", "n_ref"
+        )
+        # materialize before the temp dirs vanish
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
