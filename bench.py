@@ -112,6 +112,7 @@ EXTRA = [
     "welch_ttest_price_by_status",
     "benford_first_digit_prices",
     "user_value_trend",
+    "quantile_merge_daily_value",
 ]
 
 

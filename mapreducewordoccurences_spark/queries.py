@@ -6568,3 +6568,107 @@ def q_streaming_psi_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "quantile_merge_daily_value",
+    # Mergeable quantile partials: per-day equi-width histograms union
+    # by bucket addition (like the HLL/CMS partials), and any quantile
+    # is answerable from the merged histogram with error ≤ one bucket
+    # width. The acceptance bound is exact arithmetic both engines share.
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value / 2) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), merged AS (
+      SELECT bucket, SUM(n) AS n FROM daily GROUP BY bucket
+    ), cum AS (
+      SELECT bucket, n,
+             SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(n) OVER () AS t
+      FROM merged
+    ), est AS (
+      SELECT min(CASE WHEN cn >= 0.5 * t THEN bucket END) AS p50_bucket,
+             min(CASE WHEN cn >= 0.95 * t THEN bucket END) AS p95_bucket,
+             min(t) AS n_total
+      FROM cum
+    ), exact AS (
+      SELECT quantile_disc(value, 0.5) AS p50_exact,
+             quantile_disc(value, 0.95) AS p95_exact
+      FROM events
+    )
+    SELECT est.n_total,
+           p50_bucket * 2.0 AS p50_bucket_lo,
+           p95_bucket * 2.0 AS p95_bucket_lo,
+           p50_exact >= p50_bucket * 2.0
+             AND p50_exact < (p50_bucket + 1) * 2.0 AS p50_ok,
+           p95_exact >= p95_bucket * 2.0
+             AND p95_exact < (p95_bucket + 1) * 2.0 AS p95_ok
+    FROM est CROSS JOIN exact
+    """,
+)
+def q_quantile_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile partials — the rollup pattern exact
+    percentiles can't do (you cannot merge two medians): each day
+    keeps an equi-width value histogram; histograms union by bucket
+    addition (same algebra as the HLL/CMS partials); any percentile
+    reads off the merged cumulative with error ≤ one bucket width.
+    The query proves the contract: the exact percentile (computed
+    directly) must land inside the bucket the merged histogram
+    selected — p50_ok/p95_ok hash-match TRUE. Day-partition counts
+    are the only data-scale pass; merge + cumulative run on the
+    bucket axis."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            ts_micros(events, "ts").alias("__us"),
+            F.floor(F.col("value") / 2).cast("bigint").alias("bucket"),
+        )
+        .select(F.expr("__us div 86400000000").alias("day"), "bucket")
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = daily.groupBy("bucket").agg(F.sum("n").alias("n"))
+    wcum = (
+        Window.partitionBy()
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = merged.select(
+        "bucket",
+        "n",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("n").over(Window.partitionBy()).alias("t"),
+    )
+    est = cum.agg(
+        F.min(F.when(F.col("cn") >= 0.5 * F.col("t"), F.col("bucket"))).alias(
+            "p50_bucket"
+        ),
+        F.min(F.when(F.col("cn") >= 0.95 * F.col("t"), F.col("bucket"))).alias(
+            "p95_bucket"
+        ),
+        F.min("t").alias("n_total"),
+    )
+    exact = events.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "p50_exact"
+        ),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias(
+            "p95_exact"
+        ),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_total",
+        (F.col("p50_bucket") * 2.0).alias("p50_bucket_lo"),
+        (F.col("p95_bucket") * 2.0).alias("p95_bucket_lo"),
+        (
+            (F.col("p50_exact") >= F.col("p50_bucket") * 2.0)
+            & (F.col("p50_exact") < (F.col("p50_bucket") + 1) * 2.0)
+        ).alias("p50_ok"),
+        (
+            (F.col("p95_exact") >= F.col("p95_bucket") * 2.0)
+            & (F.col("p95_exact") < (F.col("p95_bucket") + 1) * 2.0)
+        ).alias("p95_ok"),
+    )
