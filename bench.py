@@ -113,6 +113,10 @@ EXTRA = [
     "benford_first_digit_prices",
     "user_value_trend",
     "quantile_merge_daily_value",
+    "readability_scores",
+    "modal_event_type_per_user",
+    "monthly_revenue_growth",
+    "longest_activity_streak",
 ]
 
 

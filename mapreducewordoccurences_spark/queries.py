@@ -6672,3 +6672,179 @@ def q_quantile_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p95_exact") < (F.col("p95_bucket") + 1) * 2.0)
         ).alias("p95_ok"),
     )
+
+
+@register(
+    "readability_scores",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(ROUND(206.835 - 1.015 * (n_words / n_sentences)
+                      - 84.6 * (n_syllables / n_words), 4) AS DOUBLE)
+             AS flesch_score
+    FROM t WHERE n_words > 0
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from regex-countable proxies
+    (sentences = terminal-punctuation runs, floor 1; syllables =
+    vowel-group runs — the standard cheap approximation). A
+    complexity gate alongside quality_score/text_stats: too-easy AND
+    too-hard tails both correlate with low training value. Map-only
+    — three regexp counts in one scan, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "n_words"
+        ),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).alias("n_sentences"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).alias(
+            "n_syllables"
+        ),
+    )
+    return t.where(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") / F.col("n_words")),
+            4,
+        ).alias("flesch_score"),
+    )
+
+
+@register(
+    "modal_event_type_per_user",
+    """
+    SELECT user_id, modal_type, modal_count, n_events FROM (
+      SELECT user_id, event_type AS modal_type, n AS modal_count,
+             SUM(n) OVER (PARTITION BY user_id) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM (SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2))
+    WHERE rn = 1
+    """,
+)
+def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per key: the most frequent event type per
+    user, ties broken alphabetically — built-in mode() is
+    tie-nondeterministic in a distributed engine, so the portable
+    form is min_by over a (-count, value) struct on the grouped
+    count. Two shuffles sharing the user_id prefix."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("user_id").agg(
+        F.min_by(
+            F.col("event_type"), F.struct((-F.col("n")).alias("nn"), "event_type")
+        ).alias("modal_type"),
+        F.max("n").alias("modal_count"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, n_orders, revenue,
+           CAST(ROUND(revenue / lag(revenue) OVER (ORDER BY month) - 1, 6)
+                AS DOUBLE) AS mom_growth
+    FROM m
+    """,
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: decimal-exact monthly revenue, then a
+    lag() ratio on the MONTH-COUNT-sized aggregate (the unpartitioned
+    window runs over dozens of rows, never data). First month's
+    growth is NULL — unknown, not zero."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        decimal_sum("o_totalprice", 4, "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy().orderBy("month")
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+            "mom_growth"
+        ),
+    )
+
+
+@register(
+    "longest_activity_streak",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM du
+    ), streaks AS (
+      SELECT user_id, count(*) AS streak_days, min(day) AS streak_start
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, longest_streak, longest_streak_start, n_streaks FROM (
+      SELECT user_id, streak_days AS longest_streak,
+             streak_start AS longest_streak_start,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start) AS rn
+      FROM streaks)
+    WHERE rn = 1
+    """,
+)
+def q_longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    day - row_number() islands trick: consecutive days share a
+    constant difference, so a plain groupBy collapses each run. All
+    three stages (distinct days, island window, streak rollup) are
+    user-keyed — one shuffle, no global ordering."""
+    events = _t(spark, sf_dir, "events")
+    du = (
+        events.select(
+            "user_id", ts_micros(events, "ts").alias("__us")
+        )
+        .select("user_id", F.expr("__us div 86400000000").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = du.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak"),
+        F.min_by(
+            F.col("streak_start"),
+            F.struct((-F.col("streak_days")).alias("ns"), "streak_start"),
+        ).alias("longest_streak_start"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
