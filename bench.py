@@ -117,6 +117,8 @@ EXTRA = [
     "modal_event_type_per_user",
     "monthly_revenue_growth",
     "longest_activity_streak",
+    "session_conversion_rate",
+    "grouping_sets_distinct_users",
 ]
 
 

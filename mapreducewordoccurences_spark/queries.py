@@ -6848,3 +6848,118 @@ def q_longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("longest_streak_start"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@register(
+    "session_conversion_rate",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+        FROM ordered
+    ), per_session AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               count(CASE WHEN event_type = 'view' THEN 1 END) > 0 AS has_view,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+                 AS has_purchase
+        FROM sessions GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           count(CASE WHEN has_view THEN 1 END) AS n_with_view,
+           count(CASE WHEN has_view AND has_purchase THEN 1 END) AS n_converted,
+           count(CASE WHEN has_view AND has_purchase THEN 1 END)
+             / count(CASE WHEN has_view THEN 1 END) AS view_to_purchase_rate,
+           SUM(n_events) AS n_events_total
+    FROM per_session
+    """,
+)
+def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion: sessionize (30-min gaps), then the
+    share of view-containing sessions that also purchased — the
+    funnel restated at SESSION grain, where product analytics
+    actually reports it (user-grain funnels over-credit returns days
+    later). One user-keyed shuffle end-to-end: both windows, the
+    per-session rollup, and the final count all reuse the same
+    partitioning; the closing rate is one int/int divide."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = events.select(
+        "user_id", "event_id", "event_type", ts_micros(events, "ts").alias("ts_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sessions = ordered.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.when(F.col("event_type") == "view", 1)) > 0).alias("has_view"),
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0).alias(
+            "has_purchase"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("has_view"), 1)).alias("n_with_view"),
+        F.count(F.when(F.col("has_view") & F.col("has_purchase"), 1)).alias(
+            "n_converted"
+        ),
+        (
+            F.count(F.when(F.col("has_view") & F.col("has_purchase"), 1))
+            / F.count(F.when(F.col("has_view"), 1))
+        ).alias("view_to_purchase_rate"),
+        F.sum("n_events").alias("n_events_total"),
+    )
+
+
+@register(
+    "grouping_sets_distinct_users",
+    """
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (day), (event_type, day), ())
+    """,
+)
+def q_grouping_sets_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain DISTINCT counts in one statement: distinct users by
+    type, by day, by (type, day), and overall via GROUPING SETS — the
+    expand operator replicates rows per grouping set and the distinct
+    aggregation runs once, instead of four hand-written queries
+    scanning four times. At 100 TB the expand multiplies the shuffle
+    by #sets; that is still one scan versus four, and per-set
+    partial distinct state is key-bounded."""
+    events = _t(spark, sf_dir, "events")
+    events.select(
+        "event_type",
+        ts_micros(events, "ts").alias("__us"),
+        "user_id",
+    ).selectExpr(
+        "event_type", "__us div 86400000000 AS day", "user_id"
+    ).createOrReplaceTempView("__gsd_events")
+    return spark.sql(
+        """
+        SELECT event_type, day,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM __gsd_events
+        GROUP BY GROUPING SETS ((event_type), (day), (event_type, day), ())
+        """
+    )
