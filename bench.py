@@ -119,6 +119,8 @@ EXTRA = [
     "longest_activity_streak",
     "session_conversion_rate",
     "grouping_sets_distinct_users",
+    "zipf_slope_vocabulary",
+    "classifier_eval_metrics",
 ]
 
 

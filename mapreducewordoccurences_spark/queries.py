@@ -6963,3 +6963,119 @@ def q_grouping_sets_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY GROUPING SETS ((event_type), (day), (event_type, day), ())
         """
     )
+
+
+@register(
+    "zipf_slope_vocabulary",
+    """
+    WITH vocab AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents)
+      GROUP BY w
+    ), ranked AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM vocab
+    ), m AS (
+      SELECT count(*) AS n,
+             sum(CAST(trunc(x * 1e6) AS BIGINT)) / 1e6 AS sx,
+             sum(CAST(trunc(y * 1e6) AS BIGINT)) / 1e6 AS sy,
+             sum(CAST(trunc(x * x * 1e6) AS BIGINT)) / 1e6 AS sxx,
+             sum(CAST(trunc(x * y * 1e6) AS BIGINT)) / 1e6 AS sxy
+      FROM ranked
+    )
+    SELECT n AS vocab_size,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS DOUBLE)
+             AS zipf_slope
+    FROM m
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    corpus vocabulary — natural language sits near −1; templated or
+    synthetic corpora deviate hard, making this a cheap whole-corpus
+    naturalness gate. The rank sort runs over the DISTINCT-WORD set
+    (≪ corpus — the same cardinality argument as the wordcount sort);
+    moments use the fixed-point protocol. x = ln(rank) is positive,
+    so trunc/CAST agree across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    vocab = (
+        docs.select(F.explode(tokens("text", lowercase=True)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy().orderBy(F.col("c").desc(), "w")
+    ranked = vocab.select(
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    fp = lambda c: F.expr(f"CAST(({c}) * 1e6 AS BIGINT)")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(fp("x")) / F.lit(1e6)).alias("sx"),
+        (F.sum(fp("y")) / F.lit(1e6)).alias("sy"),
+        (F.sum(fp("x * x")) / F.lit(1e6)).alias("sxx"),
+        (F.sum(fp("x * y")) / F.lit(1e6)).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    return m.select(
+        n.alias("vocab_size"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+    )
+
+
+@register(
+    "classifier_eval_metrics",
+    """
+    WITH pred AS (
+      SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y_true,
+             CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+               AS y_pred
+      FROM embeddings
+    ), cm AS (
+      SELECT count(CASE WHEN y_true = 1 AND y_pred = 1 THEN 1 END) AS tp,
+             count(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 END) AS fp,
+             count(CASE WHEN y_true = 1 AND y_pred = 0 THEN 1 END) AS fn,
+             count(CASE WHEN y_true = 0 AND y_pred = 0 THEN 1 END) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           (tp + tn) / (tp + fp + fn + tn) AS accuracy,
+           tp / (tp + fp) AS precision,
+           tp / (tp + fn) AS recall,
+           CAST(ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS DOUBLE) AS f1
+    FROM cm
+    """,
+)
+def q_classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at scale: confusion matrix +
+    accuracy/precision/recall/F1 for a deterministic rule classifier
+    (sign of the first embedding component) against the odd-label
+    target — with bucketed_auc_embeddings this is the model-eval
+    pair (threshold metrics + ranking metric). ONE counting pass;
+    every metric is integer counts and single divides — no float
+    accumulation anywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = emb.select(
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y_true"),
+        F.when(F.element_at("embedding", 1).cast("double") > 0, 1)
+        .otherwise(0)
+        .alias("y_pred"),
+    )
+    cm = pred.agg(
+        F.count(F.when((F.col("y_true") == 1) & (F.col("y_pred") == 1), 1)).alias("tp"),
+        F.count(F.when((F.col("y_true") == 0) & (F.col("y_pred") == 1), 1)).alias("fp"),
+        F.count(F.when((F.col("y_true") == 1) & (F.col("y_pred") == 0), 1)).alias("fn"),
+        F.count(F.when((F.col("y_true") == 0) & (F.col("y_pred") == 0), 1)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        tp, fp, fn, tn,
+        ((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
+        (tp / (tp + fp)).alias("precision"),
+        (tp / (tp + fn)).alias("recall"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+    )
