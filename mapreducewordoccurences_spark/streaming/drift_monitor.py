@@ -22,7 +22,7 @@ idempotent under epoch replay because a re-run batch writes the same
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreducewordoccurences_spark.operators.drift import (
