@@ -7079,3 +7079,98 @@ def q_classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tp / (tp + fn)).alias("recall"),
         F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
     )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state snapshot: each user's most recent event — the
+    single most common window query in any event store, and the read
+    side of CDC latest-per-key (operators/merge.py latest_per_key is
+    the same rank-1 shape keyed by version). Map-side
+    WindowGroupLimit keeps one candidate row per user per partition
+    BEFORE the shuffle, so the exchange carries users×partitions
+    rows, not events."""
+    from mapreducewordoccurences_spark.operators.merge import latest_per_key
+
+    events = _t(spark, sf_dir, "events")
+    # (ts, event_id) is unique per user; fold into one sortable struct
+    # so latest_per_key's single version column applies
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.struct(
+            ts_micros(events, "ts").alias("us"), F.col("event_id").alias("eid")
+        ).alias("__version"),
+    )
+    return latest_per_key(keyed, ["user_id"], "__version").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+@register(
+    "order_fulfillment_lag_stats",
+    """
+    WITH lags AS (
+      SELECT o.o_orderpriority,
+             (epoch_us(min(l.l_shipdate)) - epoch_us(o.o_orderdate))
+               // 86400000000 AS first_ship_lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           quantile_disc(first_ship_lag_days, 0.5) AS median_lag_days,
+           quantile_disc(first_ship_lag_days, 0.9) AS p90_lag_days,
+           min(first_ship_lag_days) AS min_lag_days,
+           max(first_ship_lag_days) AS max_lag_days
+    FROM lags GROUP BY o_orderpriority
+    """,
+)
+def q_order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment latency: days from order to FIRST shipment, exact
+    percentiles per priority class — the accumulating-snapshot fact
+    pattern (process-stage durations) every operations warehouse
+    maintains. The order↔lineitem join and the per-order min share
+    the orderkey shuffle; integer day lags keep the percentiles
+    bit-portable."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lags = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min(ts_micros(li, "l_shipdate")).alias("__first_ship_us"))
+        .select(
+            "o_orderpriority",
+            (
+                F.col("__first_ship_us") - ts_micros(orders, "o_orderdate")
+            ).alias("__diff_us"),
+        )
+        .select(
+            "o_orderpriority",
+            F.expr("__diff_us div 86400000000").alias("first_ship_lag_days"),
+        )
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY first_ship_lag_days)"
+        ).alias("median_lag_days"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY first_ship_lag_days)"
+        ).alias("p90_lag_days"),
+        F.min("first_ship_lag_days").alias("min_lag_days"),
+        F.max("first_ship_lag_days").alias("max_lag_days"),
+    )
