@@ -121,6 +121,8 @@ EXTRA = [
     "grouping_sets_distinct_users",
     "zipf_slope_vocabulary",
     "classifier_eval_metrics",
+    "latest_event_per_user",
+    "order_fulfillment_lag_stats",
 ]
 
 
