@@ -123,6 +123,7 @@ EXTRA = [
     "classifier_eval_metrics",
     "latest_event_per_user",
     "order_fulfillment_lag_stats",
+    "dedup_threshold_sensitivity",
 ]
 
 

@@ -7174,3 +7174,135 @@ def q_order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("first_ship_lag_days").alias("min_lag_days"),
         F.max("first_ship_lag_days").alias("max_lag_days"),
     )
+
+
+# shared exact-pair CTE for the sketch-tier acceptance oracles (3-gram
+# shingle Jaccard, the same text pipeline as dedup_ngram_jaccard)
+_EXACT_PAIRS_CTE = """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+             )) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+            FROM documents)
+      WHERE len(s) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes x ON x.doc_id = doc_a
+                 JOIN sizes y ON y.doc_id = doc_b
+      WHERE i / (x.n + y.n - i) >= {thr}
+    )
+"""
+
+
+@register(
+    "dedup_minhash_recall_acceptance",
+    _EXACT_PAIRS_CTE.format(thr=0.7)
+    + """
+    SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok FROM exact
+    """,
+)
+def q_minhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable contract of the MinHash-LSH tier: its
+    banded candidates must RECALL ≥ 0.9 of the exact Jaccard-0.7
+    pairs (observed 1.0 at every tested sf; margin below). The LSH
+    pair set itself is hash-seeded and not portable SQL — but the
+    exact-pair count IS (hash-matched), and recall_ok must come back
+    TRUE for the value-hash to match, so the driver now verifies the
+    sketch tier's accuracy claim, not just that it runs. Runs both
+    tiers; the shingle/signature shuffles are the tiers' own."""
+    from mapreducewordoccurences_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.7, max_shingle_df=64
+    ).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, threshold=0.7
+    ).select("doc_a", "doc_b")
+    hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return n_exact.crossJoin(F.broadcast(hits)).select(
+        F.col("n_exact").alias("n_exact_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hits") / F.col("n_exact") >= 0.9)
+        ).alias("recall_ok"),
+    )
+
+
+@register(
+    "dedup_simhash_recall_acceptance",
+    _EXACT_PAIRS_CTE.format(thr=0.8)
+    + """
+    SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok FROM exact
+    """,
+)
+def q_simhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same acceptance contract for the SimHash tier: pigeonhole
+    candidates at Hamming ≤ 8 must recall ≥ 0.85 of the exact
+    Jaccard-0.8 pairs (observed 0.96-1.0; SimHash is a lossier
+    sketch than MinHash, hence the lower floor)."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, max_shingle_df=64
+    ).select("doc_a", "doc_b")
+    sim = simhash_near_dup_pairs(docs, max_distance=8).select("doc_a", "doc_b")
+    hits = exact.join(sim, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return n_exact.crossJoin(F.broadcast(hits)).select(
+        F.col("n_exact").alias("n_exact_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hits") / F.col("n_exact") >= 0.85)
+        ).alias("recall_ok"),
+    )
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    _EXACT_PAIRS_CTE.format(thr=0.0).replace(
+        "WHERE i / (x.n + y.n - i) >= 0.0",
+        "WHERE i / (x.n + y.n - i) >= 0.5",
+    )
+    + """
+    , scored AS (
+      SELECT i / (x.n + y.n - i) AS j
+      FROM inter JOIN sizes x ON x.doc_id = doc_a
+                 JOIN sizes y ON y.doc_id = doc_b
+      WHERE i / (x.n + y.n - i) >= 0.5
+    )
+    SELECT count(*) AS n_pairs_50,
+           count(CASE WHEN j >= 0.7 THEN 1 END) AS n_pairs_70,
+           count(CASE WHEN j >= 0.8 THEN 1 END) AS n_pairs_80,
+           count(CASE WHEN j >= 0.9 THEN 1 END) AS n_pairs_90,
+           count(CASE WHEN j >= 0.999999 THEN 1 END) AS n_pairs_exact
+    FROM scored
+    """,
+)
+def q_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold tuning in ONE pass: pair counts at Jaccard ≥
+    0.5/0.7/0.8/0.9/1.0 from a single candidate generation — how a
+    data engineer picks the near-dup cutoff (where does the pair
+    count elbow?) without re-running the pipeline per threshold.
+    Same single-shuffle posting-list plan as the dedup tier, scored
+    once, counted at every cutoff via conditional aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=64)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_50"),
+        F.count(F.when(F.col("jaccard") >= 0.7, 1)).alias("n_pairs_70"),
+        F.count(F.when(F.col("jaccard") >= 0.8, 1)).alias("n_pairs_80"),
+        F.count(F.when(F.col("jaccard") >= 0.9, 1)).alias("n_pairs_90"),
+        F.count(F.when(F.col("jaccard") >= 0.999999, 1)).alias("n_pairs_exact"),
+    )
