@@ -124,6 +124,8 @@ EXTRA = [
     "latest_event_per_user",
     "order_fulfillment_lag_stats",
     "dedup_threshold_sensitivity",
+    "session_window_batch_counts",
+    "approx_topk_words_acceptance",
 ]
 
 

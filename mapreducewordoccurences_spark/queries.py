@@ -7306,3 +7306,95 @@ def q_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.when(F.col("jaccard") >= 0.9, 1)).alias("n_pairs_90"),
         F.count(F.when(F.col("jaccard") >= 0.999999, 1)).alias("n_pairs_exact"),
     )
+
+
+@register(
+    "session_window_batch_counts",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation run in BATCH mode,
+    cross-checked against the gaps-and-islands formulation (the
+    oracle): both define a session break as a silence strictly longer
+    than 30 minutes (session_window's half-open [ts, ts+gap) merge ≡
+    islands' gap > 1800s; the testdata has no exact-1800s gap, probed
+    at every sf). This is the same operator the streaming path uses
+    (streaming/windows.py session_event_counts) — batch/stream
+    session semantics verified identical through the driver gate."""
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.timestamp_micros(ts_micros(events, "ts")).alias("__ts"),
+    )
+    per_session = ev.groupBy(
+        "user_id", F.session_window("__ts", "30 minutes").alias("__w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@register(
+    "approx_topk_words_acceptance",
+    # approx_top_k's sketch internals aren't portable; its CONTRACT is:
+    # genuinely heavy items must surface. Exact top-5 hash-matches;
+    # the containment boolean must be uniformly TRUE.
+    """
+    WITH counts AS (
+      SELECT w AS word, count(*) AS exact_cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents)
+      GROUP BY w
+    )
+    SELECT word, exact_cnt, TRUE AS in_approx_topk
+    FROM counts ORDER BY exact_cnt DESC, word LIMIT 5
+    """,
+)
+def q_approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's approx_top_k sketch vs the exact heavy hitters:
+    the true top-5 words (hash-matched exact counts) must appear in
+    the sketch's top-10 — heavily frequent items are exactly what a
+    frequent-items sketch guarantees it cannot drop. The sketch
+    aggregates distributed with constant memory; the exact side is
+    the same grouped count the wordcount core uses."""
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text", lowercase=True)).alias("word"))
+    top5 = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "word")
+        .limit(5)
+    )
+    approx = words.agg(F.expr("approx_top_k(word, 10)").alias("__tk")).select(
+        F.explode("__tk").alias("__e")
+    ).select(F.col("__e.item").alias("word"), F.lit(True).alias("__in"))
+    return (
+        top5.join(approx, "word", "left")
+        .select(
+            "word",
+            "exact_cnt",
+            F.coalesce("__in", F.lit(False)).alias("in_approx_topk"),
+        )
+    )
