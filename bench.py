@@ -126,6 +126,7 @@ EXTRA = [
     "dedup_threshold_sensitivity",
     "session_window_batch_counts",
     "approx_topk_words_acceptance",
+    "bpe_learn_merges",
 ]
 
 

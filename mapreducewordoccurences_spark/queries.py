@@ -7398,3 +7398,23 @@ def q_approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__in", F.lit(False)).alias("in_approx_topk"),
         )
     )
+
+
+@register("bpe_learn_merges")  # rows-only: the iterative argmax loop is
+# not portable SQL; locked instead by tests/test_bpe.py's differential
+# against a pure-Python BPE reference (exact merge-list equality) and a
+# partition-invariance check
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary learning on the corpus
+    (functions/bpe.py): 10 merge rounds over the word-frequency
+    table. One corpus-scale pass total — every round after it runs on
+    the VOCABULARY (distinct words × symbols, frequency-weighted),
+    which is how production BPE trainers scale; merge application is
+    a built-in aggregate() fold (no Python row path), argmax is a
+    one-row driver scalar per round, lineage is checkpoint-truncated
+    (the connected-components discipline)."""
+    from mapreducewordoccurences_spark.functions.bpe import bpe_merge_table
+
+    return bpe_merge_table(
+        spark, _t(spark, sf_dir, "documents"), num_merges=10
+    )
