@@ -127,6 +127,7 @@ EXTRA = [
     "session_window_batch_counts",
     "approx_topk_words_acceptance",
     "bpe_learn_merges",
+    "quality_stratified_corpus_sample",
 ]
 
 

@@ -7418,3 +7418,83 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(
         spark, _t(spark, sf_dir, "documents"), num_merges=10
     )
+
+
+@register(
+    "quality_stratified_corpus_sample",
+    """
+    WITH tf AS (
+      SELECT doc_id, w AS word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ), vocab AS (
+      SELECT word, SUM(tf) AS cw FROM tf GROUP BY word
+    ), tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS total FROM vocab),
+    nll AS (
+      SELECT doc_id,
+             CAST(ROUND(-SUM(tf.tf * ln(vocab.cw / tot.total)) / SUM(tf.tf), 4)
+                  AS DOUBLE) AS mean_nll,
+             SUM(tf.tf) AS n_tokens
+      FROM tf JOIN vocab USING (word) CROSS JOIN tot
+      GROUP BY doc_id
+    ), bounds AS (
+      SELECT quantile_disc(mean_nll, 0.25) AS p25,
+             quantile_disc(mean_nll, 0.50) AS p50,
+             quantile_disc(mean_nll, 0.75) AS p75
+      FROM nll
+    ), binned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN mean_nll <= p25 THEN 1
+                  WHEN mean_nll <= p50 THEN 2
+                  WHEN mean_nll <= p75 THEN 3
+                  ELSE 4 END AS quality_bin,
+             CAST(concat('0x', substr(md5('curr' || CAST(doc_id AS VARCHAR)),
+                                      1, 4)) AS INT) < 16384 AS sampled
+      FROM nll CROSS JOIN bounds
+    )
+    SELECT quality_bin,
+           count(*) AS n_docs,
+           count(CASE WHEN sampled THEN 1 END) AS n_sampled,
+           SUM(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS n_tokens_sampled
+    FROM binned GROUP BY quality_bin
+    """,
+)
+def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction end-to-end: score every doc with the
+    corpus unigram LM (fluency), cut EXACT quartile boundaries
+    (percentile_disc — broadcast, no global sort of docs), and draw a
+    reproducible 25% hash-sample per quality bin — the
+    quality-stratified subset an ablation or curriculum schedule
+    trains on. Composes functions/ranking.py unigram_logprob +
+    functions/sampling.py hash_bucket; every stage is a pattern the
+    catalog verifies in isolation, here verified COMPOSED."""
+    from mapreducewordoccurences_spark.functions.ranking import unigram_logprob
+    from mapreducewordoccurences_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    nll = unigram_logprob(docs).select(
+        "doc_id", F.round("mean_nll", 4).alias("mean_nll"), "n_tokens"
+    )
+    bounds = nll.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY mean_nll)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY mean_nll)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY mean_nll)").alias("p75"),
+    )
+    binned = nll.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("mean_nll") <= F.col("p25"), 1)
+        .when(F.col("mean_nll") <= F.col("p50"), 2)
+        .when(F.col("mean_nll") <= F.col("p75"), 3)
+        .otherwise(4)
+        .alias("quality_bin"),
+        (hash_bucket(F.col("doc_id"), salt="curr") < 16384).alias("sampled"),
+    )
+    return binned.groupBy("quality_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("sampled"), 1)).alias("n_sampled"),
+        F.sum(F.when(F.col("sampled"), F.col("n_tokens")).otherwise(0)).alias(
+            "n_tokens_sampled"
+        ),
+    )
