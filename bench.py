@@ -128,6 +128,7 @@ EXTRA = [
     "approx_topk_words_acceptance",
     "bpe_learn_merges",
     "quality_stratified_corpus_sample",
+    "fk_integrity_audit",
 ]
 
 

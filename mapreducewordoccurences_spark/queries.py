@@ -7498,3 +7498,94 @@ def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_sampled"
         ),
     )
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'nation.n_regionkey->region' AS fk, count(*) AS n_child_rows,
+           count(CASE WHEN r.r_regionkey IS NULL THEN 1 END) AS n_orphans
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', count(*),
+           count(CASE WHEN x.n_nationkey IS NULL THEN 1 END)
+    FROM customer c LEFT JOIN nation x ON c.c_nationkey = x.n_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', count(*),
+           count(CASE WHEN x.n_nationkey IS NULL THEN 1 END)
+    FROM supplier s LEFT JOIN nation x ON s.s_nationkey = x.n_nationkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*),
+           count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', count(*),
+           count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', count(*),
+           count(CASE WHEN p.p_partkey IS NULL THEN 1 END)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', count(*),
+           count(CASE WHEN s.s_suppkey IS NULL THEN 1 END)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit: orphan counts for
+    every FK edge of the star in one statement — the nightly
+    contract check a warehouse runs before publishing a snapshot.
+    Every probe is a LEFT join counting null parents. TRUE dims
+    (region/nation/part/supplier — bounded or sublinear cardinality)
+    broadcast; parents that scale with the data (customer, orders)
+    use ordinary joins and AQE picks the strategy from runtime sizes
+    — broadcasting a fact-sized parent would OOM at 100 TB.
+    Generalizes operators/expectations.py's single-FK gate to the
+    full schema."""
+    def probe(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, fk: str,
+              broadcast_parent: bool = True):
+        parent_side = parent.select(F.col(pkey))
+        if broadcast_parent:
+            parent_side = F.broadcast(parent_side)
+        return (
+            child.select(F.col(ckey))
+            .join(
+                parent_side,
+                F.col(ckey) == F.col(pkey),
+                "left",
+            )
+            .agg(
+                F.lit(fk).alias("fk"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count(F.when(F.col(pkey).isNull(), 1)).alias("n_orphans"),
+            )
+        )
+
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    probes = [
+        probe(nation, "n_regionkey", region, "r_regionkey",
+              "nation.n_regionkey->region"),
+        probe(customer, "c_nationkey", nation, "n_nationkey",
+              "customer.c_nationkey->nation"),
+        probe(supplier, "s_nationkey", nation, "n_nationkey",
+              "supplier.s_nationkey->nation"),
+        probe(orders, "o_custkey", customer, "c_custkey",
+              "orders.o_custkey->customer", broadcast_parent=False),
+        probe(li, "l_orderkey", orders, "o_orderkey",
+              "lineitem.l_orderkey->orders", broadcast_parent=False),
+        probe(li, "l_partkey", part, "p_partkey",
+              "lineitem.l_partkey->part"),
+        probe(li, "l_suppkey", supplier, "s_suppkey",
+              "lineitem.l_suppkey->supplier"),
+    ]
+    out = probes[0]
+    for p in probes[1:]:
+        out = out.unionByName(p)
+    return out
