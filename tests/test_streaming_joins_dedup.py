@@ -162,3 +162,47 @@ def test_foreach_batch_sink_idempotent_layout(spark, tmpdir):
     got = spark.read.parquet(out_dir)
     assert got.count() == 10
     assert "batch_id" in got.columns
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmpdir):
+    """Outer stream-stream join: clicks with NO purchase in the
+    interval must still emit (NULL right side) once the watermark
+    passes their join horizon — the state-eviction contract. A far-
+    future sentinel on both streams advances the watermark so the
+    finite test input flushes its outer results."""
+    base = dt.datetime(2024, 1, 1)
+    clicks = [
+        (base + dt.timedelta(minutes=m), "click", 1, float(m)) for m in (0, 10)
+    ] + [(base + dt.timedelta(days=30), "click", 9, 999.0)]  # sentinel
+    buys = [(base + dt.timedelta(minutes=5), "purchase", 1, 5.0)] + [
+        (base + dt.timedelta(days=30), "purchase", 9, 999.0)  # sentinel
+    ]
+    csrc, bsrc = os.path.join(tmpdir, "clicks_lo"), os.path.join(tmpdir, "buys_lo")
+    _events(spark, csrc, clicks)
+    _events(spark, bsrc, buys)
+
+    cs = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(csrc)
+        .selectExpr("ts AS click_ts", "user_id", "value AS click_val")
+    )
+    bs = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(bsrc)
+        .selectExpr("ts AS buy_ts", "user_id", "value AS buy_val")
+    )
+    out = stream_stream_interval_join(
+        cs, bs, key="user_id", left_ts="click_ts", right_ts="buy_ts",
+        max_delay="30 minutes", watermark="1 hour", how="left_outer",
+    )
+    _run_to_memory(out, "attributed_lo")
+
+    got = {
+        (r["click_val"], r["buy_val"])
+        for r in spark.sql(
+            "SELECT click_val, buy_val FROM attributed_lo WHERE user_id = 1"
+        ).collect()
+    }
+    # click@0 matches buy@5; click@10 has no purchase within 30min and
+    # must emit as (10.0, None) after the sentinel advances the watermark
+    assert got == {(0.0, 5.0), (10.0, None)}
