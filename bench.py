@@ -129,6 +129,7 @@ EXTRA = [
     "bpe_learn_merges",
     "quality_stratified_corpus_sample",
     "fk_integrity_audit",
+    "time_decayed_user_value",
 ]
 
 

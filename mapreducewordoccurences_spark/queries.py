@@ -7589,3 +7589,57 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in probes[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "time_decayed_user_value",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+    w AS (
+      SELECT user_id,
+             exp(-((t_max - epoch_us(ts)) / 86400000000.0) / 7.0) AS wt,
+             CAST(value AS DOUBLE) AS v
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(ROUND(SUM(CAST(trunc(wt * 1e8) AS BIGINT)) / 1e8, 6) AS DOUBLE)
+             AS decayed_count,
+           CAST(ROUND((SUM(CAST(trunc(wt * v * 1e6) AS BIGINT)) / 1e6)
+                      / (SUM(CAST(trunc(wt * 1e8) AS BIGINT)) / 1e8), 6)
+                AS DOUBLE) AS decayed_avg_value
+    FROM w GROUP BY user_id
+    """,
+)
+def q_time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed counters (7-day half-life-style
+    weighting, w = exp(-age_days/7) against the corpus horizon) — the
+    recency-weighted engagement feature every ranking system keeps:
+    decayed event count and decayed mean value per user. Unlike the
+    sequential EWMA (order-sensitive recurrence), per-row decay
+    weights are independent, so this is ONE grouped pass of
+    fixed-point sums — order-free, mergeable across partitions and
+    days (decayed counters update by multiplying the old sum by the
+    elapsed decay and adding the new batch — the streaming form).
+    The corpus max-timestamp is a broadcast scalar."""
+    events = _t(spark, sf_dir, "events")
+    mx = events.agg(F.max(ts_micros(events, "ts")).alias("t_max"))
+    w = events.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.exp(
+            -((F.col("t_max") - ts_micros(events, "ts")) / F.lit(86400000000.0))
+            / F.lit(7.0)
+        ).alias("wt"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.expr("CAST(wt * 1e8 AS BIGINT)")) / F.lit(1e8), 6
+        ).alias("decayed_count"),
+        F.round(
+            (F.sum(F.expr("CAST(wt * v * 1e6 AS BIGINT)")) / F.lit(1e6))
+            / (F.sum(F.expr("CAST(wt * 1e8 AS BIGINT)")) / F.lit(1e8)),
+            6,
+        ).alias("decayed_avg_value"),
+    )
