@@ -130,6 +130,7 @@ EXTRA = [
     "quality_stratified_corpus_sample",
     "fk_integrity_audit",
     "time_decayed_user_value",
+    "keyword_and_search",
 ]
 
 

@@ -6,7 +6,11 @@ Cross-engine determinism rules used throughout (see
 operators/aggregates.py):
 - money/double SUM/AVG go through DECIMAL(28,s) per-row casts → exact,
   order-independent sums → final CAST TO DOUBLE. The oracle mirrors
-  the identical casts.
+  the identical casts. Hot scan-aggregate paths use the equivalent
+  fixed-point int64 form (fixedpoint_sum: per-row half-up round to
+  scale, long sum — value-identical, stays in primitive codegen);
+  statistics use the trunc-based variant (corr protocol) where
+  negative values must truncate consistently.
 - every window/top-k ORDER BY is made total with a unique tiebreak.
 - ratios are single int/int divides (deterministic IEEE) — no float
   accumulation.
@@ -7642,4 +7646,51 @@ def q_time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum(F.expr("CAST(wt * 1e8 AS BIGINT)")) / F.lit(1e8)),
             6,
         ).alias("decayed_avg_value"),
+    )
+
+
+@register(
+    "keyword_and_search",
+    """
+    WITH inv AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents)
+      WHERE w IN ('spark', 'merge', 'window')
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_terms FROM inv GROUP BY doc_id
+    )
+    SELECT h.doc_id, d.source, d.lang,
+           len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens
+    FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    WHERE h.n_terms = 3
+    """,
+)
+def q_keyword_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND keyword search the inverted-index way: docs
+    containing ALL of {spark, merge, window} found by filtering the
+    posting lists and counting distinct matched terms per doc — the
+    group-count == k trick that replaces k chained LIKE scans (k
+    scans → one scan; the IN filter prunes the exploded token stream
+    map-side before any shuffle). BM25 (bm25_topk_docs) is the
+    ranked counterpart; this is the filter counterpart."""
+    docs = _t(spark, sf_dir, "documents")
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    terms = ["spark", "merge", "window"]
+    inv = (
+        docs.select("doc_id", F.explode(tokens("text", lowercase=True)).alias("w"))
+        .where(F.col("w").isin(terms))
+        .distinct()
+    )
+    hits = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    return (
+        hits.where(F.col("n_terms") == len(terms))
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size(tokens("text", lowercase=True)).alias("n_tokens"),
+        )
     )
