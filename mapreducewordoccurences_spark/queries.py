@@ -5385,9 +5385,11 @@ def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation is a self-join CO-KEYED ON THE ORDER — the blow-up
     is bounded by basket_size²/2 per order (baskets are small by
     nature), never by part popularity, so the plan survives any order
-    count. Per-part supports and the order total are
-    group-cardinality-sized BROADCAST sides; lift/confidence are
-    single integer divides (bit-portable)."""
+    count. The order total is a broadcast scalar; the per-part
+    support joins carry NO broadcast hint — part cardinality scales
+    with the data, so AQE broadcasts while the supports fit and
+    falls back to pair-co-keyed shuffle joins when they don't.
+    Lift/confidence are single integer divides (bit-portable)."""
     li = _t(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = b.agg(
@@ -5406,8 +5408,11 @@ def q_basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
     sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        # per-part supports scale with part cardinality — no broadcast
+        # hint; AQE broadcasts them while they fit and shuffle-joins
+        # co-keyed on the pair columns when they don't
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a", "part_b", "c_ab",
