@@ -7545,11 +7545,12 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-schema referential-integrity audit: orphan counts for
     every FK edge of the star in one statement — the nightly
     contract check a warehouse runs before publishing a snapshot.
-    Every probe is a LEFT join counting null parents. TRUE dims
-    (region/nation/part/supplier — bounded or sublinear cardinality)
-    broadcast; parents that scale with the data (customer, orders)
-    use ordinary joins and AQE picks the strategy from runtime sizes
-    — broadcasting a fact-sized parent would OOM at 100 TB.
+    Every probe is a LEFT join counting null parents. Only the
+    TRULY bounded dims (region: 5 rows, nation: 25 at any SF)
+    carry a broadcast hint; every parent whose cardinality scales
+    with the data (customer, orders, part, supplier) joins unhinted
+    and AQE picks broadcast-vs-shuffle from runtime sizes —
+    broadcasting a scaling parent would OOM at 100 TB.
     Generalizes operators/expectations.py's single-FK gate to the
     full schema."""
     def probe(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, fk: str,
@@ -7590,9 +7591,9 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe(li, "l_orderkey", orders, "o_orderkey",
               "lineitem.l_orderkey->orders", broadcast_parent=False),
         probe(li, "l_partkey", part, "p_partkey",
-              "lineitem.l_partkey->part"),
+              "lineitem.l_partkey->part", broadcast_parent=False),
         probe(li, "l_suppkey", supplier, "s_suppkey",
-              "lineitem.l_suppkey->supplier"),
+              "lineitem.l_suppkey->supplier", broadcast_parent=False),
     ]
     out = probes[0]
     for p in probes[1:]:
