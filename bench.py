@@ -131,6 +131,7 @@ EXTRA = [
     "fk_integrity_audit",
     "time_decayed_user_value",
     "keyword_and_search",
+    "seasonal_traffic_zscore",
 ]
 
 

@@ -7700,3 +7700,71 @@ def q_keyword_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens("text", lowercase=True)).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "seasonal_traffic_zscore",
+    """
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+             (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), season AS (
+      SELECT hour_of_day,
+             count(*) AS n_days,
+             SUM(n) AS tot,
+             SUM(n * n) AS tot2
+      FROM hourly GROUP BY hour_of_day
+    )
+    SELECT h.hour_bucket, h.hour_of_day, h.n,
+           CAST(ROUND(CAST(s.tot AS DOUBLE) / s.n_days, 4) AS DOUBLE)
+             AS seasonal_mean,
+           CAST(ROUND((h.n - CAST(s.tot AS DOUBLE) / s.n_days)
+                      / sqrt(CAST(s.tot2 AS DOUBLE) / s.n_days
+                             - (CAST(s.tot AS DOUBLE) / s.n_days)
+                               * (CAST(s.tot AS DOUBLE) / s.n_days)),
+                      4) AS DOUBLE) AS seasonal_z
+    FROM hourly h JOIN season s USING (hour_of_day)
+    WHERE s.n_days >= 3
+      AND CAST(s.tot2 AS DOUBLE) / s.n_days
+          - (CAST(s.tot AS DOUBLE) / s.n_days)
+            * (CAST(s.tot AS DOUBLE) / s.n_days) > 0
+    """,
+)
+def q_seasonal_traffic_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware traffic anomaly detection: each hour's event
+    count scored against the SAME-HOUR-OF-DAY baseline across the
+    history — the flat rolling window (rolling_zscore_events) flags
+    every daily peak, this one only flags departures from the daily
+    rhythm. Data-scale work is one hourly count; the seasonal moments
+    and the scoring join run on the hour-axis (rows ∝ retention) —
+    exact integer sums, closed-form double finish, round 4."""
+    events = _t(spark, sf_dir, "events")
+    hourly = (
+        events.select(ts_micros(events, "ts").alias("__us"))
+        .select(
+            F.expr("__us div 3600000000").alias("hour_bucket"),
+            F.expr("(__us div 3600000000) % 24").alias("hour_of_day"),
+        )
+        .groupBy("hour_bucket", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    season = hourly.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    mean = F.col("tot").cast("double") / F.col("n_days")
+    var = F.col("tot2").cast("double") / F.col("n_days") - mean * mean
+    return (
+        hourly.join(F.broadcast(season), "hour_of_day")
+        .where((F.col("n_days") >= 3) & (var > 0))
+        .select(
+            "hour_bucket",
+            "hour_of_day",
+            "n",
+            F.round(mean, 4).alias("seasonal_mean"),
+            F.round((F.col("n") - mean) / F.sqrt(var), 4).alias("seasonal_z"),
+        )
+    )
