@@ -132,6 +132,8 @@ EXTRA = [
     "time_decayed_user_value",
     "keyword_and_search",
     "seasonal_traffic_zscore",
+    "rollup_share_of_parent",
+    "event_trigram_paths",
 ]
 
 

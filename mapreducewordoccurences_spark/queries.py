@@ -7768,3 +7768,105 @@ def q_seasonal_traffic_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - mean) / F.sqrt(var), 4).alias("seasonal_z"),
         )
     )
+
+
+@register(
+    "rollup_share_of_parent",
+    """
+    WITH ro AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS balance,
+             count(*) AS n_customers
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY ROLLUP (r.r_name, n.n_name)
+    )
+    SELECT region, nation, n_customers, balance,
+           CAST(ROUND(balance / SUM(CASE WHEN nation IS NULL
+                                          AND region IS NOT NULL
+                                         THEN balance END)
+                                  OVER (PARTITION BY region), 6) AS DOUBLE)
+             AS share_of_region,
+           CAST(ROUND(balance / SUM(CASE WHEN region IS NULL THEN balance END)
+                                  OVER (), 6) AS DOUBLE) AS share_of_total
+    FROM ro
+    """,
+)
+def q_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: the region→nation ROLLUP with
+    each row's share of its region subtotal and of the grand total —
+    subtotals and shares from ONE grouped pass (the windows pick the
+    parent rows out of the rollup output itself; no second scan, no
+    self-join). The windows run over the rollup's group-bounded
+    output. NULL grouping column = subtotal row, per SQL rollup
+    semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    ro = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            decimal_sum("c_acctbal", 4, "balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+    region_total = F.sum(
+        F.when(F.col("nation").isNull() & F.col("region").isNotNull(),
+               F.col("balance"))
+    ).over(Window.partitionBy("region"))
+    grand_total = F.sum(
+        F.when(F.col("region").isNull(), F.col("balance"))
+    ).over(Window.partitionBy())
+    return ro.select(
+        "region",
+        "nation",
+        "n_customers",
+        "balance",
+        F.round(F.col("balance") / region_total, 6).alias("share_of_region"),
+        F.round(F.col("balance") / grand_total, 6).alias("share_of_total"),
+    )
+
+
+@register(
+    "event_trigram_paths",
+    """
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT t1, t2, t3, count(*) AS n_paths
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, t1, t2, t3
+    LIMIT 20
+    """,
+)
+def q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 path mining: the 20 most common three-step event
+    sequences — the Sankey/user-flow view one step deeper than the
+    Markov matrix (event_transition_matrix is order-1; real flows
+    like view→click→purchase only show at order 2+). One per-user
+    shuffle for both leads (shared window), a #types³-bounded
+    aggregate, TakeOrderedAndProject for the top slice."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_micros(events, "ts"), F.col("event_id")
+    )
+    seq = events.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )
