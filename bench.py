@@ -37,7 +37,10 @@ HEADLINE = [
     "json_extract_event_stats",
     "text_stats",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    # the raw LSH pair-set computation, benched as "dedup_minhash_lsh"
+    # through r4; renamed when the oracle-checked acceptance formulation
+    # took over that catalog name (same computation, same timing basis)
+    "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "embedding_cosine_topk",
 ]
@@ -250,7 +253,31 @@ def main() -> int:
                 "cpus": int(cpus),
                 "errors": errors,
             }
-        )
+        ),
+        flush=True,
+    )
+    # The full dump above is ~6 KB (190+ per-query timings) and can
+    # exceed a log tail capture, truncating the FRONT of the line where
+    # "value" lives (this is exactly what nulled BENCH_r04's parsed
+    # record). Emit a compact, self-sufficient headline line LAST so
+    # any tail-based consumer always sees the headline number intact.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "startup_sec": round(startup, 3),
+                "extra_total_sec": round(sum(extra.values()), 3),
+                "n_headline": len(timings),
+                "n_extra": len(extra),
+                "n_errors": len(errors),
+                "cpus": int(cpus),
+                "runs_per_query": runs,
+            }
+        ),
+        flush=True,
     )
     spark.stop()
     return 0

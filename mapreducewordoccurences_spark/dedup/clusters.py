@@ -25,30 +25,32 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) from an undirected edge list; component =
     min node id reachable. Converges in O(diameter) rounds.
 
-    Every round ends with ``localCheckpoint(eager=True)``: each
-    iteration references the previous labels twice (neighbor join +
-    union), so without lineage truncation the lazy plan DOUBLES per
-    round and a diameter-14 graph OOMs the driver during plan
-    optimization before any data moves. Checkpointing pins the round's
-    result and restarts the plan — state stays two small (node, label)
-    tables regardless of round count. (On a production cluster with
-    driver-failure recovery requirements, use ``checkpoint()`` with a
-    reliable checkpoint dir instead.)
+    Every round ends with lineage truncation: each iteration
+    references the previous labels twice (neighbor join + union), so
+    without truncation the lazy plan DOUBLES per round and a
+    diameter-14 graph OOMs the driver during plan optimization before
+    any data moves. Truncating pins the round's result and restarts
+    the plan — state stays two small (node, label) tables regardless
+    of round count. Default is ``localCheckpoint`` (free, but
+    executor-local); pass ``checkpoint_dir`` (durable shared storage)
+    for reliable ``checkpoint()`` that survives executor loss on a
+    real cluster — see core/checkpointing.py.
     """
-    edges = (
+    from mapreducewordoccurences_spark.core.checkpointing import make_truncate
+
+    truncate = make_truncate(pairs, checkpoint_dir)
+    edges = truncate(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
-        eager=True
-    )
+    labels = truncate(nodes.select("node", F.col("node").alias("component")))
 
     for _ in range(max_iterations):
         # candidate label per node: min over (own label, neighbors' labels)
@@ -56,11 +58,10 @@ def connected_components(
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
         )
-        new_labels = (
+        new_labels = truncate(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -87,6 +88,7 @@ def connected_components_two_phase(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond").
@@ -100,19 +102,21 @@ def connected_components_two_phase(
     dup graph may contain long chains (e.g. drifting near-dup
     sequences); cliques converge in 2-3 rounds under either.
 
-    Each round is two groupBys over the edge list; per-round
-    ``localCheckpoint`` truncates lineage exactly as in
-    ``connected_components``.
+    Each round is two groupBys over the edge list; per-round lineage
+    truncation exactly as in ``connected_components`` (and the same
+    opt-in reliable ``checkpoint_dir``).
     """
+    from mapreducewordoccurences_spark.core.checkpointing import make_truncate
+
+    truncate = make_truncate(pairs, checkpoint_dir)
     # normalize to undirected edges u≠v, deduped
-    e = (
+    e = truncate(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -122,7 +126,7 @@ def connected_components_two_phase(
         m = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        large = (
+        large = truncate(
             sym.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u2"), F.col("m").alias("v2"))
@@ -131,7 +135,6 @@ def connected_components_two_phase(
                 F.least("u2", "v2").alias("u"), F.greatest("u2", "v2").alias("v")
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # ---- small-star: every node links its SMALLER-OR-EQUAL
         # neighbors to m = min(smaller neighbors ∪ self)
@@ -140,7 +143,7 @@ def connected_components_two_phase(
         )
         smaller = sym2.where(F.col("v") < F.col("u"))
         m2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small = truncate(
             smaller.join(m2, "u")
             .select(
                 F.when(F.col("v") != F.col("m"), F.col("v")).otherwise(F.col("u")).alias("u2"),
@@ -151,7 +154,6 @@ def connected_components_two_phase(
                 F.least("u2", "v2").alias("u"), F.greatest("u2", "v2").alias("v")
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # converged when the edge set is a stable star forest (edges
         # unchanged by a full round) — one symmetric-difference job,

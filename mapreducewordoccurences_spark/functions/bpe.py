@@ -122,11 +122,21 @@ def learn_bpe_merges(
     text_col: str = "text",
     num_merges: int = 20,
     min_pair_count: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right,
     pair_count)] in merge order. Stops early when no pair reaches
-    ``min_pair_count``."""
-    vocab = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    ``min_pair_count``.
+
+    Per-round lineage truncation defaults to ``localCheckpoint``
+    (executor-local); pass ``checkpoint_dir`` on durable storage for
+    reliable checkpoints that survive executor loss — the vocab table
+    persisted each round is vocabulary-sized, so the extra I/O is
+    negligible next to the corpus pass (core/checkpointing.py)."""
+    from mapreducewordoccurences_spark.core.checkpointing import make_truncate
+
+    truncate = make_truncate(df, checkpoint_dir)
+    vocab = truncate(word_freq_table(df, text_col))
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         top = (
@@ -139,7 +149,7 @@ def learn_bpe_merges(
             break
         left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((left, right, int(cnt)))
-        vocab = _apply_merge(vocab, left, right).localCheckpoint(eager=True)
+        vocab = truncate(_apply_merge(vocab, left, right))
     return merges
 
 
@@ -172,8 +182,13 @@ def encode_vocabulary(
     merge is the same built-in fold the learner uses; the chained
     folds stay in codegen (k folds = k expression layers, constant
     per plan)."""
+    # _apply_merge's contract is the learner's (word, freq, symbols)
+    # schema, so normalize the input column to "word" internally and
+    # restore the caller's name on return — otherwise any word_col
+    # other than "word" fails UNRESOLVED_COLUMN on the first merge.
     out = vocab_words.select(
-        word_col, F.split(F.col(word_col), "(?!^)(?=.)").alias("symbols")
+        F.col(word_col).alias("word"),
+        F.split(F.col(word_col), "(?!^)(?=.)").alias("symbols"),
     )
     for m in merges:
         left, right = m[0], m[1]
@@ -181,7 +196,9 @@ def encode_vocabulary(
             out.withColumn("freq", F.lit(1)), left, right
         ).select("word", "symbols")
     return out.select(
-        word_col, "symbols", F.size("symbols").alias("n_symbols")
+        F.col("word").alias(word_col),
+        "symbols",
+        F.size("symbols").alias("n_symbols"),
     )
 
 

@@ -118,10 +118,17 @@ def psi_from_bucket_counts(
     half of ``psi``, exposed so a streaming monitor can score each
     micro-batch against a FROZEN reference histogram without
     re-bucketing the reference (streaming/drift_monitor.py)."""
+    # Normalize positionally BEFORE joining: resolving the count
+    # columns by name (a.columns[1]) breaks when both histograms carry
+    # the same count name — e.g. two bucket_counts() outputs with the
+    # default "n" — because after the full_outer join that name is
+    # ambiguous (AMBIGUOUS_REFERENCE). toDF makes any input naming work.
+    a = a.toDF("bucket", "na")
+    b = b.toDF("bucket", "nb")
     joined = a.join(b, "bucket", "full_outer").select(
         "bucket",
-        F.coalesce(a.columns[1], F.lit(0)).alias("na"),
-        F.coalesce(b.columns[1], F.lit(0)).alias("nb"),
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
     )
     w = Window.partitionBy()
     p = F.greatest(F.col("na") / F.sum("na").over(w), F.lit(float(floor_p)))

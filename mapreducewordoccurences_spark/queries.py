@@ -552,15 +552,21 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # non-SQL-expressible portably → rows-only check
+@register("dedup_minhash_lsh_pairs")  # non-SQL-expressible portably → rows-only
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash-LSH candidate pair set (hash-seeded, so not portable
+    SQL → rows-only check). The oracle-checkable contract of this tier
+    lives under ``dedup_minhash_lsh`` (recall-acceptance vs the exact
+    Jaccard pairs)."""
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.7
     ).select("doc_a", "doc_b", "est_jaccard")
 
 
-@register("dedup_simhash")  # rows-only: 63-bit vote/bit arithmetic not portable SQL
+@register("dedup_simhash_pairs")  # rows-only: 63-bit vote arithmetic not portable SQL
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SimHash near-dup pair set (rows-only; see ``dedup_simhash``
+    for the oracle-checked acceptance contract of this tier)."""
     return simhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"), max_distance=8
     )
@@ -5540,54 +5546,46 @@ def q_near_dedup_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY (the expensive tier never sees content the cheap tier
     already killed), connected components to resolve transitive
     near-dup chains, min-id survivorship, and a per-source keep/drop
-    audit. Composes dedup/exact.py + dedup/ngram.py +
-    dedup/clusters.py. At corpus scale the Jaccard tier swaps for
-    MinHash-LSH banding (dedup_minhash_lsh) with identical
-    downstream plumbing — candidates → components → keep-set."""
-    from mapreducewordoccurences_spark.dedup.clusters import connected_components
-    from mapreducewordoccurences_spark.dedup.exact import doc_fingerprint
-    from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
+    audit. Composes dedup/cascade.py (exact + ngram + clusters). At
+    corpus scale the Jaccard tier swaps for MinHash-LSH banding with
+    identical downstream plumbing — see near_dedup_keepset_lsh, the
+    same operator with near_tier='minhash_lsh'."""
+    from mapreducewordoccurences_spark.dedup.cascade import dedup_cascade
 
-    docs = _t(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id", "source", doc_fingerprint("text").alias("f")
+    return dedup_cascade(
+        _t(spark, sf_dir, "documents"),
+        near_tier="jaccard",
+        n=3,
+        threshold=0.8,
+        max_shingle_df=64,
     )
-    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
-    # three consumers (survivor semi-join, status join, final agg) —
-    # without the persist each re-runs the md5 scan + fingerprint
-    # shuffle; the table is (doc_id, source, bool), corpus-row-count
-    # sized but narrow (same convention as the minhash/ngram persists;
-    # caller/bench clearCache() releases it)
-    tagged = fp.join(keep, "f").select(
-        "doc_id", "source", (F.col("doc_id") != F.col("keep_id")).alias("drop_exact")
-    ).persist()
-    survivors = docs.join(
-        tagged.where(~F.col("drop_exact")).select("doc_id"), "doc_id", "left_semi"
-    )
-    pairs = ngram_jaccard_pairs(survivors, n=3, threshold=0.8, max_shingle_df=64)
-    cc = connected_components(pairs)
-    status = tagged.join(
-        cc.select(
-            F.col("node").alias("doc_id"),
-            (F.col("node") != F.col("component")).alias("__near"),
-        ),
-        "doc_id",
-        "left",
-    ).select(
-        "doc_id",
-        "source",
-        "drop_exact",
-        F.coalesce(F.col("__near"), F.lit(False)).alias("drop_near"),
-    )
-    return status.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(F.col("drop_exact"), 1)).alias("n_dropped_exact"),
-        F.count(F.when(~F.col("drop_exact") & F.col("drop_near"), 1)).alias(
-            "n_dropped_near"
-        ),
-        F.count(F.when(~F.col("drop_exact") & ~F.col("drop_near"), 1)).alias(
-            "n_kept"
-        ),
+
+
+_NEAR_DEDUP_KEEPSET_ORACLE = ORACLES["near_dedup_keepset"]
+
+
+@register("near_dedup_keepset_lsh", _NEAR_DEDUP_KEEPSET_ORACLE)
+def q_near_dedup_keepset_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME cascade with the corpus-scale near-dup tier:
+    MinHash-LSH banding generates candidates (ids-only band shuffle,
+    no quadratic pass), exact shingle-Jaccard verifies CANDIDATE
+    PAIRS ONLY at the same 0.8 threshold. Because candidates are
+    exact-verified, the edge set — and hence the keep-set — matches
+    the jaccard tier wherever LSH recall is 1.0, so this shares
+    near_dedup_keepset's recursive-CTE oracle verbatim: the driver's
+    hash-match doubles as an end-to-end LSH-recall gate (miss
+    probability at the 16×4 banding: (1-J⁴)¹⁶ < 3e-4 at J=0.8,
+    ~0 at the planted dups' J≈1)."""
+    from mapreducewordoccurences_spark.dedup.cascade import dedup_cascade
+
+    return dedup_cascade(
+        _t(spark, sf_dir, "documents"),
+        near_tier="minhash_lsh",
+        n=3,
+        threshold=0.8,
+        num_perm=64,
+        bands=16,
+        candidate_est_threshold=0.5,
     )
 
 
@@ -6569,8 +6567,12 @@ def q_streaming_psi_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         q = start_psi_monitor(stream, "value", 5.0, ref_dir, metrics, ckpt)
         q.awaitTermination(300)
+        # batch_id is a partition column of the metrics log (the
+        # idempotent-replay layout), so its read-back type is inferred
+        # from the directory name — cast to the contract's bigint
         out = spark.read.parquet(metrics).select(
-            "batch_id", "psi", "n_buckets", "n_batch", "n_ref"
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+            "psi", "n_buckets", "n_batch", "n_ref",
         )
         # materialize before the temp dirs vanish
         rows = out.collect()
@@ -7211,7 +7213,7 @@ _EXACT_PAIRS_CTE = """
 
 
 @register(
-    "dedup_minhash_recall_acceptance",
+    "dedup_minhash_lsh",
     _EXACT_PAIRS_CTE.format(thr=0.7)
     + """
     SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok FROM exact
@@ -7249,7 +7251,7 @@ def q_minhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_simhash_recall_acceptance",
+    "dedup_simhash",
     _EXACT_PAIRS_CTE.format(thr=0.8)
     + """
     SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok FROM exact

@@ -15,9 +15,10 @@ Scale notes: the reference histogram is range/width-sized (KBs) and
 is read once per batch from parquet — never re-derived from training
 data. Per batch, the only data-scale work is one bucketed count of
 the batch itself; the PSI arithmetic runs on the joined histogram.
-The metrics sink is an append-only parquet log keyed by batch_id —
-idempotent under epoch replay because a re-run batch writes the same
-(batch_id, psi) row values.
+The metrics sink is a parquet log partitioned by batch_id, written
+with dynamic partition overwrite — idempotent under epoch replay
+because a re-processed batch OVERWRITES its own batch_id partition
+(a plain append would duplicate the row: equal values, two copies).
 """
 
 from __future__ import annotations
@@ -73,7 +74,17 @@ def start_psi_monitor(
             F.col("n_a").alias("n_batch"),
             F.col("n_b").alias("n_ref"),
         )
-        row.write.mode("append").parquet(metrics_dir)
+        # Partition by batch_id + dynamic partition overwrite: replay of
+        # a failed epoch rewrites ONLY that batch's partition instead of
+        # appending a duplicate row — exactly-once metrics without a
+        # transactional sink (same layout test_foreach_batch_sink_
+        # idempotent_layout exercises for the generic sink).
+        (
+            row.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(metrics_dir)
+        )
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -101,6 +101,29 @@ def test_encode_matches_reference(spark):
         assert got[w] == syms, (w, got[w], syms)
 
 
+def test_encode_custom_word_col(spark):
+    """encode_vocabulary must honor a non-default word_col (it is
+    normalized to the internal 'word' name for _apply_merge and
+    restored on return)."""
+    from mapreducewordoccurences_spark.functions.bpe import (
+        encode_vocabulary,
+        learn_bpe_merges,
+    )
+
+    texts = ["aa ab aa ab aa", "ab aa ab"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = learn_bpe_merges(df, "text", num_merges=2)
+    assert merges  # 'a'+'a' and/or 'a'+'b' must fire
+
+    wdf = spark.createDataFrame([("aa",), ("ab",)], "term string")
+    out = encode_vocabulary(wdf, merges, word_col="term")
+    assert out.columns == ["term", "symbols", "n_symbols"]
+    got = {r["term"]: list(r["symbols"]) for r in out.collect()}
+    default = {r["word"]: list(r["symbols"]) for r in encode_vocabulary(
+        wdf.withColumnRenamed("term", "word"), merges).collect()}
+    assert got == default
+
+
 def test_corpus_compression_improves_with_merges(spark):
     from mapreducewordoccurences_spark.functions.bpe import corpus_token_compression
     from mapreducewordoccurences_spark.sources.readers import load_table

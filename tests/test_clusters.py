@@ -23,6 +23,35 @@ def test_connected_components_long_chain_converges(spark):
     assert len(cc) == 16
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint(): identical labels, and checkpoint files actually land
+    in the given dir (proof the durable path was taken)."""
+    import os
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    ckpt = str(tmp_path / "cc_ckpt")
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert os.path.isdir(ckpt) and any(os.scandir(ckpt))
+
+
+def test_bpe_reliable_checkpoint_same_merges(spark, tmp_path):
+    from mapreducewordoccurences_spark.functions.bpe import learn_bpe_merges
+
+    texts = ["the cat sat on the mat", "the hat and the bat"] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    local = learn_bpe_merges(df, "text", num_merges=5)
+    durable = learn_bpe_merges(
+        df, "text", num_merges=5, checkpoint_dir=str(tmp_path / "bpe_ckpt")
+    )
+    assert local == durable and len(local) == 5
+
+
 def test_dup_clusters_summary(spark):
     edges = [(5, 9), (9, 7), (100, 101)]
     pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")

@@ -22,7 +22,7 @@ REPRESENTATIVE = [
     "q9_profit_by_nation_year",
     "q14_promo_revenue_ratio",
     "sessionize_events",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_pairs",
     "pack_documents_to_sequences",
     "scd2_customer_priority",
     "time_weighted_avg_user_value",

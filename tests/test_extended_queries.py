@@ -45,7 +45,7 @@ def test_language_id_tie_break_deterministic(spark):
 def test_simhash_pairs_overlap_exact_jaccard(spark):
     """SimHash near-dups should substantially overlap the exact-Jaccard
     near-dup set (both detect the planted duplicates)."""
-    sim = QUERIES["dedup_simhash"](spark, SF_DIR)
+    sim = QUERIES["dedup_simhash_pairs"](spark, SF_DIR)
     jac = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
     sim_pairs = {(r["doc_a"], r["doc_b"]) for r in sim.collect()}
     jac_pairs = {(r["doc_a"], r["doc_b"]) for r in jac.collect()}
