@@ -8,12 +8,18 @@ byte-for-byte, metadata is columnar and prunable). Heavy per-item work
 batch, not once per row, and each task streams batches — no executor
 needs a whole partition of media in memory at once.
 
-Codec note: image/audio libraries are NOT available in this
-environment, so the byte-level decoders are deterministic fakes over a
-tiny self-describing header (``fake_image_bytes``). The Spark-side
-contract — schemas, batch iteration, partitioning, UDF signatures —
-is real and tested; swapping in Pillow/ffmpeg is a one-function
-change inside the pandas iterator.
+Codec note: every operator first tries the engine's self-describing
+test header (``fake_image_bytes`` — deterministic, closed-form
+oracles), then falls back to a REAL decoder behind a try-import of
+Pillow (``_try_import_pil``). With Pillow installed, real
+PNG/JPEG/GIF payloads decode, featurize, resize, and frame-sample
+through the exact same Arrow-batched plumbing; without it (this
+sandbox), real payloads yield NULL dims/features — the same graceful
+path corrupt bytes take, so jobs never fail on codec availability.
+The Spark-side contract — schemas, batch iteration, partitioning,
+UDF signatures — is identical either way and tested in both modes.
+Video (ffmpeg) remains header-driven: frame COUNTS fan out rows;
+attaching real frame bytes would slot into the same iterator.
 """
 
 from __future__ import annotations
@@ -80,6 +86,38 @@ def _parse_header(payload: bytes | None) -> tuple[int, int, int, int] | None:
     return w, h, c, f
 
 
+def _try_import_pil():
+    """Pillow, or None. Evaluated lazily inside worker batches so the
+    real-codec path lights up wherever the executor image has Pillow,
+    with zero hard dependency."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    return Image
+
+
+def _real_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    """(width, height, channels, n_frames) via Pillow, or None when
+    Pillow is absent or the bytes don't decode."""
+    image_mod = _try_import_pil()
+    if image_mod is None or payload is None:
+        return None
+    import io  # noqa: PLC0415
+
+    try:
+        with image_mod.open(io.BytesIO(payload)) as img:
+            w, h = img.size
+            return w, h, len(img.getbands()), int(getattr(img, "n_frames", 1))
+    except Exception:  # noqa: BLE001 — corrupt bytes take the NULL path
+        return None
+
+
+def _any_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    """Fake-header first (cheap constant-time parse), then real codec."""
+    return _parse_header(payload) or _real_image_meta(payload)
+
+
 def make_fake_media(df: DataFrame, id_col: str = "doc_id", kind: str = "image") -> DataFrame:
     """Deterministic MEDIA_SCHEMA corpus derived from an id column.
 
@@ -123,12 +161,15 @@ def make_fake_media(df: DataFrame, id_col: str = "doc_id", kind: str = "image") 
 
 def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
     """payload → (media_id, width, height, channels, n_frames) via
-    Arrow-batched mapInPandas. Undecodable payloads yield NULL dims
-    (never fail the job — at 100 TB some corruption is guaranteed)."""
+    Arrow-batched mapInPandas. Test-header payloads parse in constant
+    time; anything else goes through Pillow when installed (PNG/JPEG/
+    GIF, n_frames for animated formats). Undecodable payloads yield
+    NULL dims (never fail the job — at 100 TB some corruption is
+    guaranteed)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_parse_header(p) for p in pdf[payload_col]]
+            metas = [_any_image_meta(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
@@ -150,11 +191,14 @@ def extract_image_features(
 ) -> DataFrame:
     """payload → fixed-dim float feature vector (array<float>).
 
-    STUB decode: a real pipeline would run a vision encoder here; this
-    computes a deterministic byte-histogram projection so downstream
-    similarity/dedup operators (functions/similarity.py) have real
-    inputs to chew on. The batch shape — Arrow in, array<float> out —
-    is exactly what a model-backed UDF uses.
+    Deterministic byte-histogram projection (a stand-in for a vision
+    encoder) so downstream similarity/dedup operators
+    (functions/similarity.py) have real inputs to chew on. Test-header
+    payloads featurize over the fake body; real images featurize over
+    Pillow-DECODED pixel bytes when Pillow is installed (codec
+    framing stripped — the histogram sees pixels, not compression
+    artifacts). The batch shape — Arrow in, array<float> out — is
+    exactly what a model-backed UDF uses.
     """
     out_schema = T.StructType(
         [
@@ -167,16 +211,32 @@ def extract_image_features(
     # objects don't pickle
     hdr_size = _HEADER.size
 
+    def _featurizable_bytes(p):
+        if p is None:
+            return None
+        if _parse_header(p) is not None:
+            return p[hdr_size:]
+        image_mod = _try_import_pil()
+        if image_mod is None:
+            return None
+        import io  # noqa: PLC0415
+
+        try:
+            with image_mod.open(io.BytesIO(p)) as img:
+                return img.tobytes()
+        except Exception:  # noqa: BLE001
+            return None
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for p in pdf[payload_col]:
                 # undecodable payloads yield NULL features, matching
                 # decode_image_meta (don't featurize garbage bytes)
-                if p is None or _parse_header(p) is None:
+                body = _featurizable_bytes(p)
+                if body is None:
                     feats.append(None)
                     continue
-                body = p[hdr_size:]
                 hist = [0.0] * dim
                 for i, byte in enumerate(body[:2048]):
                     hist[byte % dim] += 1.0
@@ -196,13 +256,14 @@ def resize_images(
 ) -> DataFrame:
     """payload → payload re-encoded at (target_width, target_height).
 
-    STUB resample: a real pipeline would decode → interpolate →
-    re-encode (Pillow/opencv — absent here); the stub rewrites the
-    header dims and nearest-neighbor-samples the fake body so output
-    size tracks the target like a real resize would. The Spark-side
-    contract is the real part: binary in / binary out, Arrow-batched,
-    constant memory per batch — resized payloads REPLACE originals in
-    the same column so downstream stages are layout-agnostic.
+    Test-header payloads take the stub resample (header dims rewritten,
+    fake body nearest-neighbor-sampled so output size tracks the
+    target); real images decode → resize → re-encode in their original
+    format through Pillow when installed, NULL otherwise. The
+    Spark-side contract is identical on every path: binary in / binary
+    out, Arrow-batched, constant memory per batch — resized payloads
+    REPLACE originals in the same column so downstream stages are
+    layout-agnostic.
     """
     if not (0 < target_width <= 0xFFFF and 0 < target_height <= 0xFFFF):
         raise ValueError(
@@ -223,14 +284,30 @@ def resize_images(
         import struct as _struct
 
         header = _struct.Struct("<8sHHBB")  # Struct objects don't pickle
+        def real_resize(p):
+            image_mod = _try_import_pil()
+            if image_mod is None:
+                return None
+            import io  # noqa: PLC0415
+
+            try:
+                with image_mod.open(io.BytesIO(p)) as img:
+                    fmt = img.format
+                    buf = io.BytesIO()
+                    img.resize((target_width, target_height)).save(buf, format=fmt)
+                    return buf.getvalue()
+            except Exception:  # noqa: BLE001
+                return None
+
         for pdf in batches:
             payloads, widths, heights = [], [], []
             for p in pdf[payload_col]:
                 hdr = _parse_header(p)
                 if hdr is None:
-                    payloads.append(None)
-                    widths.append(None)
-                    heights.append(None)
+                    resized = real_resize(p) if p is not None else None
+                    payloads.append(resized)
+                    widths.append(target_width if resized is not None else None)
+                    heights.append(target_height if resized is not None else None)
                     continue
                 w, h, c, f = hdr
                 body = p[hdr_size:]
@@ -266,11 +343,12 @@ def sample_frames(
     id_col: str = "media_id",
 ) -> DataFrame:
     """Video-style frame sampling: one output row per kept frame index
-    (media_id, frame_idx). Real decoders would attach the frame bytes;
-    the stub raises the row-multiplicity plumbing only.
-
-    NOTE: real frame extraction is NotImplemented in this environment
-    (no ffmpeg); header-declared frame counts drive the fan-out.
+    (media_id, frame_idx). Frame COUNTS come from the test header, or
+    from Pillow's n_frames for real animated formats (GIF/APNG) when
+    installed. Real decoders would additionally attach the frame
+    bytes (ffmpeg for video — absent here); attaching them is one
+    more column in this same iterator, the row-multiplicity plumbing
+    is the part that matters to the plan.
     """
     out_schema = T.StructType(
         [
@@ -283,7 +361,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs = [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                hdr = _parse_header(p)
+                hdr = _any_image_meta(p)
                 if hdr is None:
                     continue
                 for frame in range(0, hdr[3], every_nth):

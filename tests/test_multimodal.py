@@ -130,3 +130,71 @@ def test_make_fake_media_closed_form_dims(spark):
         assert (r["width"], r["height"], r["channels"], r["n_frames"]) == (
             16 + i % 48, 16 + (i * 7) % 40, 1 + i % 3, 1 + i % 5,
         )
+
+
+# ---- real-codec path (Pillow behind a try-import) -------------------
+# A minimal valid PNG is hand-assembled with stdlib zlib so these tests
+# run WITHOUT Pillow too: with Pillow the PNG decodes through the real
+# path; without it, real payloads take the same graceful NULL path as
+# corrupt bytes. Either way the assertions below hold — same tests
+# green with and without the optional dep.
+
+def _png_bytes(w: int, h: int, rgb=(255, 0, 0)) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def _pil_present() -> bool:
+    from mapreducewordoccurences_spark.multimodal.media import _try_import_pil
+
+    return _try_import_pil() is not None
+
+
+def test_real_codec_decode_png(spark):
+    rows = [(1, _png_bytes(3, 2)), (2, fake_image_bytes(20, 18, 3, 1)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    # fake-header and corrupt paths are codec-independent
+    assert (got[2]["width"], got[2]["height"]) == (20, 18)
+    assert got[3]["width"] is None
+    if _pil_present():
+        assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (3, 2, 3)
+        assert got[1]["n_frames"] == 1
+    else:
+        assert got[1]["width"] is None
+
+
+def test_real_codec_features_and_resize(spark):
+    from mapreducewordoccurences_spark.multimodal.media import resize_images
+
+    rows = [(1, _png_bytes(4, 4)), (2, fake_image_bytes(16, 16, 3, 1))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    feats = {r["media_id"]: r["features"] for r in extract_image_features(df).collect()}
+    assert feats[2] is not None and len(feats[2]) == 16
+    resized = {r["media_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert (resized[2]["width"], resized[2]["height"]) == (8, 8)
+    if _pil_present():
+        assert feats[1] is not None and abs(sum(feats[1]) - 1.0) < 1e-6
+        assert (resized[1]["width"], resized[1]["height"]) == (8, 8)
+        # round-trip: the re-encoded real payload decodes at target dims
+        rt = decode_image_meta(
+            spark.createDataFrame([(1, resized[1]["payload"])], "media_id long, payload binary")
+        ).collect()[0]
+        assert (rt["width"], rt["height"]) == (8, 8)
+    else:
+        assert feats[1] is None
+        assert resized[1]["payload"] is None and resized[1]["width"] is None

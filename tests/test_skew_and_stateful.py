@@ -97,7 +97,13 @@ def test_transform_with_state_running_user_totals(spark):
     )
 
     if not tws_available():
-        pytest.skip("transformWithState needs protobuf (absent here)")
+        # Not implementable without the dep: transformWithStateInPandas
+        # talks to the JVM state server over a protobuf-defined protocol
+        # (pyspark.sql.streaming.proto), so there is no protobuf-free
+        # list-state path. This sandbox has no protobuf and no network
+        # to vendor it; the applyInPandasWithState test above covers the
+        # identical stateful contract on the non-protobuf API.
+        pytest.skip("transformWithState needs protobuf (absent here, no network)")
 
     d = tempfile.mkdtemp(prefix="stateful_tws_")
     conf_key = next(iter(ROCKSDB_STATE_CONF))
