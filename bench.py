@@ -137,6 +137,14 @@ EXTRA = [
     "seasonal_traffic_zscore",
     "rollup_share_of_parent",
     "event_trigram_paths",
+    # round-5 additions
+    "near_dedup_keepset_lsh",
+    "pii_redaction_audit",
+    "ngram_memorization_scan",
+    "quality_filter_funnel",
+    "attribution_last_touch_revenue",
+    "pivot_status_priority_matrix",
+    "unpivot_part_measures",
 ]
 
 

@@ -283,3 +283,41 @@ def rolling_hash_fingerprint(toks_col: Column | str, window: int = 8) -> Column:
         ).cast("long"),
     )
     return F.array_min(win)
+
+
+# PII patterns shared by redact_pii and its DuckDB oracle strings —
+# deliberately restricted to syntax both Java regex (Spark) and RE2
+# (DuckDB) interpret identically: character classes, bounded repeats,
+# alternation; no lookarounds, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — permissive on purpose; scrubbing favors recall
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # NNN-NNN-NNNN or NNN-NNNN phone-like digit groups
+    "phone": r"[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?",
+    # dotted-quad IPv4
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts for one text column — built-in
+    regexp_count only, so the scan stays in codegen at corpus scale.
+    Kinds are counted on the ORIGINAL text independently (an IPv4
+    inside an email would count for both; scrub order resolves
+    overlaps in redact_pii)."""
+    col = _c(text)
+    return {
+        kind: F.regexp_count(col, F.lit(pat)) for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
+    """Redacted text: every PII match replaced by ``replacement``.
+    Patterns apply in PII_PATTERNS order (email first, so its
+    dotted-domain bytes can't be re-matched as ipv4 fragments). One
+    chained regexp_replace expression — single pass per pattern, no
+    Python in the path."""
+    col = _c(text)
+    for pat in PII_PATTERNS.values():
+        col = F.regexp_replace(col, pat, replacement)
+    return col

@@ -7872,3 +7872,343 @@ def q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: PII scrubbing, memorization scan, filter funnel, attribution,
+# PIVOT/UNPIVOT surface, streaming aggregation parity
+# ---------------------------------------------------------------------------
+
+# Synthetic PII corpus: the testdata text is PII-free word soup, so both
+# engines derive the same enriched text from doc_id arithmetically —
+# ground-truth redaction counts are then non-trivial AND exactly
+# checkable (same closed-form convention as make_fake_media).
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || doc_id || '@example.com call 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' || "
+    "(doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
+)
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@register(
+    "pii_redaction_audit",
+    f"""
+    WITH synth AS (
+      SELECT source, {_PII_SYNTH_SQL} AS t FROM documents
+    ), redacted AS (
+      SELECT source, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '[PII]', 'g'),
+                 '{_PII_PHONE}', '[PII]', 'g'),
+               '{_PII_IPV4}', '[PII]', 'g') AS rt
+      FROM synth
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_EMAIL}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_PHONE}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_IPV4}'))) AS BIGINT) AS n_ipv4,
+           CAST(SUM(length(t) - length(rt)) AS BIGINT) AS chars_redacted
+    FROM redacted GROUP BY source
+    """,
+)
+def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit — the compliance gate every training-data
+    release runs: per-source counts of emails / phone-like groups /
+    IPv4s found, and how many characters redaction removed. Patterns
+    restricted to the Java-regex ∩ RE2 common dialect so Spark and
+    the oracle see identical matches; the scrub itself is chained
+    built-in regexp_replace (functions/text.redact_pii) — one codegen
+    stage over the corpus, no Python. Counts are measured on the
+    original text; chars_redacted proves the rewrite actually fired.
+    Scale: pure scan→project→groupBy(#sources); nothing else moves."""
+    from mapreducewordoccurences_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("t"),
+    )
+    counts = pii_counts("t")
+    return synth.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(counts["email"]).alias("n_emails"),
+        F.sum(counts["phone"]).alias("n_phones"),
+        F.sum(counts["ipv4"]).alias("n_ipv4"),
+        F.sum(F.length("t") - F.length(redact_pii("t"))).alias("chars_redacted"),
+    )
+
+
+@register(
+    "ngram_memorization_scan",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+                for i in range(1, len(s)-3)]
+             )) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+            FROM documents)
+      WHERE len(s) >= 5
+    )
+    SELECT shingle, count(*) AS n_docs
+    FROM sh GROUP BY shingle
+    HAVING count(*) >= 3
+    ORDER BY n_docs DESC, shingle
+    LIMIT 20
+    """,
+)
+def q_ngram_memorization_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk scan: the most-repeated 5-gram phrases across
+    DISTINCT documents — the check LLM data teams run to find
+    boilerplate/licenses/templates that models would memorize
+    verbatim. Distinct-per-doc shingles (dedup/ngram machinery at
+    n=5) → one groupBy(shingle) → TakeOrderedAndProject for the top
+    slice. At 100 TB the groupBy is the corpus's only shuffle and
+    combines map-side; the HAVING floor prunes the long tail before
+    the ordered take."""
+    from mapreducewordoccurences_spark.dedup.ngram import shingles_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        shingles_df(docs, n=5)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), "shingle")
+        .limit(20)
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+             len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_dis,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ORDER BY doc_id) AS fp_rank
+      FROM documents
+    ), flags AS (
+      SELECT (n_tok >= 30) AS f_len,
+             (n_dis * 1.0 / n_tok >= 0.35) AS f_div,
+             (lang <> 'zh') AS f_lang,
+             (fp_rank = 1) AS f_uniq
+      FROM scored
+    )
+    SELECT count(*) AS n_total,
+           count(CASE WHEN f_len THEN 1 END) AS after_min_tokens,
+           count(CASE WHEN f_len AND f_div THEN 1 END) AS after_diversity,
+           count(CASE WHEN f_len AND f_div AND f_lang THEN 1 END) AS after_lang,
+           count(CASE WHEN f_len AND f_div AND f_lang AND f_uniq THEN 1 END) AS after_dedup
+    FROM flags
+    """,
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attrition audit in ONE pass: how many documents
+    survive each stage of a quality cascade (min length → lexical
+    diversity → language → exact-dedup survivorship), with sequential
+    semantics (stage k counts only rows that passed stages < k).
+    The anti-pattern this replaces is N sequential filtered scans —
+    here every per-doc flag materializes in one projection (+ one
+    fingerprint window for dedup rank) and all funnel stages fall out
+    of a single conditional aggregation. The counts are the dashboard
+    every corpus build publishes."""
+    from mapreducewordoccurences_spark.functions.text import doc_fingerprint, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(doc_fingerprint("text")).orderBy("doc_id")
+    scored = docs.select(
+        "lang",
+        F.size(tokens("text", lowercase=True)).alias("n_tok"),
+        F.size(F.array_distinct(tokens("text", lowercase=True))).alias("n_dis"),
+        F.row_number().over(w).alias("fp_rank"),
+    )
+    f_len = F.col("n_tok") >= 30
+    f_div = F.col("n_dis") * 1.0 / F.col("n_tok") >= 0.35
+    f_lang = F.col("lang") != "zh"
+    f_uniq = F.col("fp_rank") == 1
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(f_len, 1)).alias("after_min_tokens"),
+        F.count(F.when(f_len & f_div, 1)).alias("after_diversity"),
+        F.count(F.when(f_len & f_div & f_lang, 1)).alias("after_lang"),
+        F.count(F.when(f_len & f_div & f_lang & f_uniq, 1)).alias("after_dedup"),
+    )
+
+
+@register(
+    "attribution_last_touch_revenue",
+    """
+    WITH touched AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           count(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS attributed_value
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase's value is credited to
+    the user's most recent PRECEDING non-purchase event type (the
+    'channel'), 'direct' when none — the marketing-analytics staple.
+    One per-user window (IGNORE NULLS last_value over an
+    unbounded-to-1-preceding frame) + a #channels-bounded aggregate;
+    value sums go through the DECIMAL(28,4) portability protocol.
+    Single shuffle on user_id, then a tiny groupBy."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_micros(events, "ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.select("event_type", "value", channel.alias("channel"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            decimal_sum("value", alias="attributed_value"),
+        )
+    )
+
+
+@register(
+    "pivot_status_priority_matrix",
+    """
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: order counts as a priority × status matrix via
+    DataFrame.pivot with EXPLICIT pivot values — passing the value
+    list is the scale-relevant form (omitting it triggers an eager
+    distinct scan of the pivot column just to name the output
+    columns). Catalyst compiles this to one groupBy with conditional
+    aggregates — exactly the portable SQL the oracle spells out — so
+    the matrix costs a single #priorities-row shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+    FROM part
+    """,
+)
+def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt surface: wide part measures to long
+    (key, measure, value) rows via DataFrame.unpivot — the reshape
+    feeding any per-metric pipeline (drift monitors, metric stores).
+    unpivot is a zero-shuffle map-side expand (each input row emits
+    #measures output rows in place), unlike the UNION ALL the oracle
+    uses, which would scan the table once per measure."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "streaming_wordcount_parity",
+    """
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ) GROUP BY word
+    """,
+)
+def q_streaming_wordcount_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's aggregation run through STRUCTURED STREAMING:
+    documents stream in as one availableNow micro-batch, tokenize →
+    explode → stateful groupBy count, complete-mode memory sink; the
+    oracle recomputes relationally. A hash-match proves the streaming
+    stateful-aggregation path (source → state store → sink) computes
+    exactly what batch SQL says — the second oracle-checked streaming
+    row next to streaming_psi_monitor_batch (which covers
+    foreachBatch; this one covers the native state-store agg)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_wc_q_")
+    sink = f"wc_parity_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        counts = (
+            stream.select(F.explode(tokens("text", lowercase=True)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(sink)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

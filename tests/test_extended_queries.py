@@ -85,3 +85,24 @@ def test_ngram_jaccard_capped_path_semantics(spark):
     tight = pairs(max_shingle_df=2)
     assert set(tight) == {(1, 2)}
     assert tight[(1, 2)] == pytest.approx(1.0)
+
+
+def test_redact_pii_order_and_counts(spark):
+    """Email must be scrubbed before ipv4 so dotted domains can't be
+    re-matched; counts measure the original text per kind."""
+    from mapreducewordoccurences_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("reach me at a.b@x9.io or 10.0.0.1, call 555-0100 or 555-123-4567",),
+         ("no pii here",)],
+        "t string",
+    )
+    c = pii_counts("t")
+    out = df.select(
+        redact_pii("t").alias("rt"),
+        c["email"].alias("e"), c["phone"].alias("p"), c["ipv4"].alias("i"),
+    ).collect()
+    assert out[0]["e"] == 1 and out[0]["i"] == 1 and out[0]["p"] == 2
+    assert out[0]["rt"] == "reach me at [PII] or [PII], call [PII] or [PII]"
+    assert out[1]["rt"] == "no pii here"
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (0, 0, 0)
