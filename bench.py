@@ -145,6 +145,8 @@ EXTRA = [
     "attribution_last_touch_revenue",
     "pivot_status_priority_matrix",
     "unpivot_part_measures",
+    "overlapping_sessions_pairs",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -159,3 +159,104 @@ def minhash_lsh_pairs(
     return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
         F.col("est_jaccard") >= threshold
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent LSH INDEX of a corpus: (signatures, band_table).
+
+    ``signatures`` is (id, signature array<long>); ``band_table`` is
+    (id, band, band_hash) — the two tables a production pipeline
+    writes out ONCE (partitioned by band at scale) so that every
+    future batch dedups against the corpus without re-shingling or
+    re-hashing a single old document. Same permutations/banding as
+    ``minhash_lsh_pairs`` given the same seed, so estimates are
+    directly comparable."""
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    band_table = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    return sigs, band_table
+
+
+def minhash_lsh_incremental_pairs(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental LSH dedup: candidate pairs between a NEW batch and
+    an already-indexed corpus (``minhash_band_index`` output), scored
+    by signature-agreement Jaccard estimate.
+
+    Returns (new_id, index_id, est_jaccard). The 100 TB contract:
+    per batch, only the NEW documents are shingled/hashed (batch-sized
+    work); the corpus contributes its stored band table to one
+    equi-join on (band, band_hash) — corpus-side cost is a join
+    against an index that dynamic partition pruning / bucketing keeps
+    cheap, NOT a rescan. new×new dedup within the batch is
+    ``minhash_lsh_pairs`` on the batch alone; this function covers
+    the new×corpus frontier."""
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    new_sigs, new_bands = minhash_band_index(
+        new_df, id_col, text_col, n, num_perm, bands, seed
+    )
+    new_sigs = new_sigs.persist()
+    cand = (
+        new_bands.select(
+            F.col(id_col).alias("new_id"), "band", "band_hash"
+        )
+        .join(
+            index_bands.select(
+                F.col(id_col).alias("index_id"), "band", "band_hash"
+            ),
+            on=["band", "band_hash"],
+        )
+        .where(F.col("new_id") != F.col("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    cand = cand.join(
+        new_sigs.select(F.col(id_col).alias("new_id"), F.col("signature").alias("__sa")),
+        "new_id",
+    ).join(
+        index_sigs.select(
+            F.col(id_col).alias("index_id"), F.col("signature").alias("__sb")
+        ),
+        "index_id",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    return cand.select("new_id", "index_id", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= threshold
+    )

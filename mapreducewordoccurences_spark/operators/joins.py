@@ -174,3 +174,65 @@ def range_join(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__r.{c}").alias(c) for c in right.columns if c not in keys],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    left_id: str | Sequence[str],
+    right_id: str | Sequence[str],
+) -> DataFrame:
+    """Interval × interval overlap join: pairs where
+    [left_start, left_end] ∩ [right_start, right_end] ≠ ∅ (closed
+    intervals: touching endpoints overlap).
+
+    The naive formulation — join on ``l.start <= r.end AND r.start <=
+    l.end`` — has no equi-key, so Spark plans a broadcast nested loop
+    (or worse, a cartesian product): O(|L|·|R|) comparisons, the
+    classic scale-killer. This operator buckets TIME instead: each
+    interval explodes into the fixed-width buckets it touches, the
+    join runs as a plain EQUI-join on the bucket id, duplicate hits
+    (a pair overlapping in k shared buckets) collapse via
+    dropDuplicates on the id columns, and the exact overlap predicate
+    filters bucket-mates that don't truly intersect. Cost is
+    data + Σ interval_len/bucket_width — never the cross product —
+    and the plan is a shuffled equi-join AQE can size and skew-split.
+    Pick ``bucket_width`` near the typical interval length: too small
+    multiplies the explode, too large multiplies same-bucket
+    candidates.
+
+    Output: all left columns + all right columns (caller must ensure
+    the names are disjoint, e.g. via pre-aliasing).
+    """
+    lids, rids = _as_list(left_id), _as_list(right_id)
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"overlapping column names: {sorted(clash)}")
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(start) / F.lit(bucket_width)).cast("long"),
+                    (F.col(end) / F.lit(bucket_width)).cast("long"),
+                )
+            ),
+        )
+    lb = bucketed(left, left_start, left_end).alias("__l")
+    rb = bucketed(right, right_start, right_end).alias("__r")
+    overlap = (F.col(f"__l.{left_start}") <= F.col(f"__r.{right_end}")) & (
+        F.col(f"__r.{right_start}") <= F.col(f"__l.{left_end}")
+    )
+    joined = lb.join(
+        rb, on=(F.col("__l.__bucket") == F.col("__r.__bucket")) & overlap, how="inner"
+    )
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(c) for c in right.columns],
+    ).dropDuplicates(lids + rids)

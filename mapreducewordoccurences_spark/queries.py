@@ -8212,3 +8212,153 @@ def q_streaming_wordcount_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "overlapping_sessions_pairs",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, session_id,
+               min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS n_overlapping_sessions
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    GROUP BY 1, 2
+    """,
+)
+def q_overlapping_sessions_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-usage analysis: for every user pair, how many of
+    their 30-min-gap sessions overlapped in time. The oracle writes
+    the textbook interval join (two range predicates, no equi-key) —
+    which Spark would plan as a nested-loop/cartesian, the classic
+    scale-killer the catalog's plan invariant forbids. The engine
+    instead uses operators.joins.interval_overlap_join: sessions
+    explode into 1-hour time buckets, the join is a plain EQUI-join
+    on the bucket id (shuffled, AQE-sizable), duplicates from pairs
+    sharing several buckets collapse on the session-id pair, and the
+    exact overlap predicate runs as a cheap post-filter. Cost is
+    data + interval/bucket fan-out, never |sessions|²."""
+    from mapreducewordoccurences_spark.operators.joins import interval_overlap_join
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_micros(events, "ts"), F.col("event_id")
+    )
+    tus = ts_micros(events, "ts")
+    ordered = events.select(
+        "user_id",
+        tus.alias("ts_us"),
+        F.when(tus - F.lag(tus).over(w) > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("is_new"),
+        F.col("event_id"),
+    )
+    numbered = ordered.select(
+        "user_id",
+        "ts_us",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("sid_a"),
+        F.col("start_us").alias("start_a"),
+        F.col("end_us").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("sid_b"),
+        F.col("start_us").alias("start_b"),
+        F.col("end_us").alias("end_b"),
+    )
+    pairs = interval_overlap_join(
+        a,
+        b,
+        "start_a",
+        "end_a",
+        "start_b",
+        "end_b",
+        bucket_width=3_600_000_000,
+        left_id=["user_a", "sid_a"],
+        right_id=["user_b", "sid_b"],
+    ).where(F.col("user_a") < F.col("user_b"))
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlapping_sessions")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    _EXACT_PAIRS_CTE.format(thr=0.7)
+    + """
+    SELECT count(*) AS n_exact_cross_pairs, TRUE AS recall_ok
+    FROM exact
+    WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+    """,
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the nightly-ingest shape: docs with
+    doc_id % 10 == 0 arrive as the NEW batch, the rest are the
+    already-indexed corpus (minhash_band_index: stored signatures +
+    band table, written once). Only the batch is shingled/hashed; the
+    corpus contributes its index to one (band, band_hash) equi-join.
+    Acceptance contract mirrors dedup_minhash_lsh: the incremental
+    candidates must recall ≥ 0.9 of the exact cross-batch
+    Jaccard-0.7 pairs (the hash-matched count), and recall_ok must
+    come back TRUE for the value-hash to match."""
+    from mapreducewordoccurences_spark.dedup.minhash import (
+        minhash_band_index,
+        minhash_lsh_incremental_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    new_batch, corpus = docs.where(is_new), docs.where(~is_new)
+    index_sigs, index_bands = minhash_band_index(corpus)
+    lsh = minhash_lsh_incremental_pairs(
+        new_batch, index_sigs, index_bands, threshold=0.7
+    ).select(
+        F.least("new_id", "index_id").alias("doc_a"),
+        F.greatest("new_id", "index_id").alias("doc_b"),
+    )
+    exact = (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_shingle_df=64)
+        .where((F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0))
+        .select("doc_a", "doc_b")
+    )
+    hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return n_exact.crossJoin(F.broadcast(hits)).select(
+        F.col("n_exact").alias("n_exact_cross_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hits") / F.col("n_exact") >= 0.9)
+        ).alias("recall_ok"),
+    )

@@ -136,3 +136,32 @@ def test_embedding_lsh_near_dup_recall(spark):
     exact = embedding_near_dup_pairs(df, threshold=0.9, exact=True, dim=dim)
     exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
     assert found <= exact_pairs  # LSH candidates re-ranked exactly: no false positives
+
+
+def test_incremental_minhash_matches_full_lsh_cross_pairs(spark):
+    """Incremental (batch × index) candidates must equal the full
+    corpus LSH pair set restricted to cross-batch pairs — same seed,
+    same banding, so the split changes WHERE hashing happens, not
+    what it finds."""
+    from mapreducewordoccurences_spark.dedup.minhash import (
+        minhash_band_index,
+        minhash_lsh_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    is_new = F.col("doc_id") % 10 == 0
+    sigs, bands = minhash_band_index(docs.where(~is_new))
+    inc = {
+        (min(r["new_id"], r["index_id"]), max(r["new_id"], r["index_id"]))
+        for r in minhash_lsh_incremental_pairs(
+            docs.where(is_new), sigs, bands, threshold=0.7
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+        if (r["doc_a"] % 10 == 0) != (r["doc_b"] % 10 == 0)
+    }
+    assert inc == full

@@ -310,3 +310,65 @@ class TestResampleGapFill:
             .toString()
         )
         assert "Python" not in plan
+
+
+class TestIntervalOverlapJoin:
+    def _run(self, spark, bucket_width):
+        from mapreducewordoccurences_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        # [0,10] [20,30] [5,25]-spans-3-buckets vs [10,12] [26,40] [100,101]
+        left = spark.createDataFrame(
+            [(1, 0, 10), (2, 20, 30), (3, 5, 25)],
+            "lid bigint, ls bigint, le bigint",
+        )
+        right = spark.createDataFrame(
+            [(7, 10, 12), (8, 26, 40), (9, 100, 101)],
+            "rid bigint, rs bigint, re bigint",
+        )
+        out = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            bucket_width=bucket_width, left_id="lid", right_id="rid",
+        )
+        return {(r["lid"], r["rid"]) for r in out.collect()}
+
+    def test_exact_pairs_any_bucket_width(self, spark):
+        # closed-interval semantics: [0,10]&[10,12] touch at 10 → overlap;
+        # (3,7) and (3,8) overlap mid-span; nothing touches [100,101]
+        expected = {(1, 7), (2, 8), (3, 7)}
+        # result must be bucket-width-INVARIANT (dedup collapses
+        # multi-bucket hits; the exact predicate is the arbiter)
+        for w in (2, 10, 1000):
+            assert self._run(spark, w) == expected, w
+
+    def test_no_cartesian_in_plan(self, spark):
+        from mapreducewordoccurences_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        left = spark.range(10).select(
+            F.col("id").alias("lid"), (F.col("id") * 10).alias("ls"),
+            (F.col("id") * 10 + 5).alias("le"),
+        )
+        right = spark.range(10).select(
+            F.col("id").alias("rid"), (F.col("id") * 10 + 3).alias("rs"),
+            (F.col("id") * 10 + 8).alias("re"),
+        )
+        out = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            bucket_width=10, left_id="lid", right_id="rid",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_column_clash_rejected(self, spark):
+        from mapreducewordoccurences_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        df = spark.createDataFrame([(1, 0, 1)], "id bigint, s bigint, e bigint")
+        with pytest.raises(ValueError, match="overlapping column names"):
+            interval_overlap_join(df, df, "s", "e", "s", "e",
+                                  bucket_width=10, left_id="id", right_id="id")
