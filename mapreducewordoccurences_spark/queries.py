@@ -8362,3 +8362,135 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_hits") / F.col("n_exact") >= 0.9)
         ).alias("recall_ok"),
     )
+
+
+@register(
+    "window_rank_family_prices",
+    """
+    SELECT p_brand, p_partkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(p_retailprice, 2) OVER (
+             PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_cheapest_price
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window surface in one query:
+    percent_rank (relative rank in [0,1]), cume_dist (inclusive
+    ECDF), and nth_value over the full-partition frame (the
+    2nd-cheapest price per brand broadcast to every row). Both rank
+    functions are integer-count divides — bit-portable; the ORDER BY
+    carries the p_partkey tiebreak so every rank is total. One
+    per-brand shuffle shared by all three functions (same WINDOW
+    spec), nth_value's unbounded frame included."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("p_retailprice", 2).over(wfull).alias("second_cheapest_price"),
+    )
+
+
+@register(
+    "pydatasource_corpus_stats",
+    # oracle needs no tables: the source's rows are a closed-form
+    # function of the id, so DuckDB regenerates them from range()
+    """
+    SELECT ['en','es','fr','de','zh'][CAST(i % 5 AS INT) + 1] AS lang,
+           count(*) AS n_docs,
+           CAST(SUM(8 + (i * 13) % 25) AS BIGINT) AS total_tokens
+    FROM range(0, 10000) t(i)
+    GROUP BY 1
+    """,
+)
+def q_pydatasource_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (sources/pydatasource.py, Spark-4
+    DataSource API) driven through the correctness gate: 10k rows
+    generated partition-parallel by the synthetic_corpus source,
+    aggregated per language. The oracle regenerates the same rows
+    from range() arithmetic — a hash-match proves the source's
+    partition-split generation (and the API plumbing around it)
+    produces exactly the declared closed form, the same oracle
+    convention the multimodal fakes use."""
+    from mapreducewordoccurences_spark.sources.pydatasource import (
+        SyntheticCorpusDataSource,
+    )
+
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    corpus = (
+        spark.read.format("synthetic_corpus")
+        .option("numRows", 10_000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "streaming_dedup_parity",
+    """
+    SELECT user_id, count(*) AS n FROM (
+      SELECT DISTINCT user_id, event_type FROM events
+    ) GROUP BY user_id
+    """,
+)
+def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION through the correctness gate: events
+    stream in (availableNow), watermarked dropDuplicates on
+    (user_id, event_type) maintains the dedup state store, and the
+    emitted distinct pairs are counted per user — hash-matched
+    against relational SELECT DISTINCT. Third oracle-checked
+    streaming row: psi monitor covers foreachBatch, wordcount parity
+    covers stateful aggregation, this covers the dedup state
+    operator (the streaming face of the exact-dedup tier)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    events = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    sink = f"dedup_parity_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        distinct_pairs = (
+            stream.select(
+                "user_id",
+                "event_type",
+                F.timestamp_micros(ts_micros(stream, "ts")).alias("__et"),
+            )
+            .withWatermark("__et", "1 hour")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+        q = (
+            distinct_pairs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -31,6 +31,10 @@ _DEFAULTS: dict[str, str] = {
     # metadata-only scan instead of a 100 TB read.
     "spark.sql.parquet.aggregatePushDown": "true",
     "spark.sql.orc.aggregatePushDown": "true",
+    # Let Python DataSources (sources/pydatasource.py) receive
+    # pushFilters() — off by default in Spark 4; required for the
+    # synthetic_corpus source to prune generation to the filtered range.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

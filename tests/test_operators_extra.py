@@ -372,3 +372,38 @@ class TestIntervalOverlapJoin:
         with pytest.raises(ValueError, match="overlapping column names"):
             interval_overlap_join(df, df, "s", "e", "s", "e",
                                   bucket_width=10, left_id="id", right_id="id")
+
+    def test_random_intervals_match_bruteforce(self, spark):
+        """Differential: bucketed overlap join ≡ O(n·m) reference on
+        random interval sets (includes touching, nested, disjoint,
+        zero-length intervals)."""
+        import random
+
+        from mapreducewordoccurences_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        rng = random.Random(11)
+        lrows = []
+        for i in range(60):
+            s = rng.randrange(0, 500)
+            lrows.append((i, s, s + rng.randrange(0, 80)))
+        rrows = []
+        for j in range(60):
+            s = rng.randrange(0, 500)
+            rrows.append((j, s, s + rng.randrange(0, 80)))
+        expected = {
+            (li, rj)
+            for (li, ls, le) in lrows
+            for (rj, rs, re) in rrows
+            if ls <= re and rs <= le
+        }
+        left = spark.createDataFrame(lrows, "lid bigint, ls bigint, le bigint")
+        right = spark.createDataFrame(rrows, "rid bigint, rs bigint, re bigint")
+        for w in (7, 64, 1000):
+            out = interval_overlap_join(
+                left, right, "ls", "le", "rs", "re",
+                bucket_width=w, left_id="lid", right_id="rid",
+            )
+            got = {(r["lid"], r["rid"]) for r in out.collect()}
+            assert got == expected, (w, len(got), len(expected))
