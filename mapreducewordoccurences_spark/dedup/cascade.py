@@ -73,10 +73,15 @@ def _verified_lsh_pairs(
         bands=bands,
         threshold=candidate_est_threshold,
     ).select("doc_a", "doc_b")
-    # per-doc distinct shingle ARRAY (doc-sized, not corpus-sized):
-    # verification joins it to each side of the bounded candidate
-    # list. Reuses ngram.shingle_array so the shingle definition is
-    # identical to the jaccard tier's by construction.
+    # per-doc distinct shingle ARRAY (map-only build over survivors):
+    # verification joins it to each side of the candidate list, and
+    # AQE broadcasts the small candidate side, so the gram table is
+    # consumed map-side — no corpus-sized shuffle. (A candidate-first
+    # semi-join to bound the gram build was measured 2 s SLOWER at
+    # sf0.1: it trades a map-only pass for two extra shuffles and a
+    # pipeline break; revisit only if candidates ever outgrow
+    # broadcast range.) Reuses ngram.shingle_array so the shingle
+    # definition is identical to the jaccard tier's by construction.
     grams = survivors.select(
         F.col(id_col).alias("__vid"),
         tokens(text_col, lowercase=True).alias("__t"),
