@@ -8494,3 +8494,132 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_interval_join_views_purchases",
+    """
+    SELECT p.user_id, count(*) AS n_view_purchase_pairs
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+    GROUP BY 1
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join through the correctness gate: purchase
+    and view events arrive as two watermarked streams; each purchase
+    joins the same user's views from the preceding hour (the
+    event-time range condition that lets the state store evict —
+    without it stream-stream join state grows forever). availableNow
+    delivers both tables as one micro-batch, so the joined set is
+    exactly the batch semantics the oracle states. Fourth streaming
+    operator driver-verified (foreachBatch, state-store agg, dedup
+    state, now join state)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    events = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_ij_q_")
+    sink = f"sij_{uuid.uuid4().hex[:8]}"
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(events.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            s.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_micros(ts_micros(s, "ts")).alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    try:
+        purchases, views = side("purchase", "p"), side("view", "v")
+        joined = purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(sink)
+            .groupBy(F.col("p_user").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value_2dp
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState —
+    streaming/stateful.py running_user_totals) through the gate: one
+    availableNow micro-batch updates every user's state row, and the
+    emitted (n_events, total_value) must equal the batch aggregation.
+    total_value is rounded to 2dp in BOTH engines: the state update
+    sums floats in pandas batch order, the oracle in scan order —
+    equal to ~1e-12 but not bit-equal, and the contract here is the
+    state machine's bookkeeping, not float associativity. Fifth
+    streaming operator driver-verified."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mapreducewordoccurences_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_state_q_")
+    sink = f"sut_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(sink).select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value_2dp"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
