@@ -1,0 +1,100 @@
+"""Graph operators: PageRank in exact integer fixed-point.
+
+PageRank is THE canonical iterative DataFrame algorithm (joins +
+groupBy per iteration, no driver-side graph state), but a float
+implementation is not engine-portable: each iteration sums incoming
+contributions in shuffle order, so two runs — let alone two engines —
+disagree in the last ulps, and the error compounds per iteration.
+This implementation runs entirely in scaled int64 arithmetic
+(micro-units of 1e-12), where every operation (multiply, truncating
+divide, sum) is order-independent and bit-identical on any engine:
+
+    r_0(v)    = SCALE / N
+    term(u,v) = (r(u) * w(u,v)) intdiv W(u)      -- weighted split
+    r'(v)     = (SCALE * (100-d)) intdiv (100*N)
+                + (d * Σ_u term(u,v)) intdiv 100  -- d = damping %
+
+Truncating integer division loses < 1e-12 of mass per edge per
+iteration — irrelevant for ranking, decisive for cross-engine
+equality (the DuckDB oracle states the identical integer recurrence).
+
+Scale: ranks are |V| rows, edges |E|; each iteration is one
+broadcast-or-shuffle join + one groupBy keyed on the destination —
+the textbook Pregel-style shape. Lineage is truncated per iteration
+(core/checkpointing.py) so the plan stays iteration-count-independent;
+pass ``checkpoint_dir`` for reliable checkpoints on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1e12 rank micro-units
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, rank_fp) after ``iterations`` rounds; rank_fp is the
+    int64 fixed-point rank (divide by SCALE for the float value).
+    ``damping_pct`` is an integer percent so the damping multiply
+    stays integral."""
+    from mapreducewordoccurences_spark.core.checkpointing import make_truncate
+
+    truncate = make_truncate(edges, checkpoint_dir)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v"), w.alias("w")
+    )
+    # collapse duplicate edges up front: one (u,v) weight per pair
+    e = e.groupBy("u", "v").agg(F.sum("w").alias("w"))
+    nodes = truncate(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("u").agg(F.sum("w").alias("w_out"))
+    e = truncate(e.join(outw, "u"))  # (u, v, w, w_out)
+
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    teleport = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
+    ranks = truncate(
+        nodes.select("node", F.lit(SCALE // n_nodes).cast("long").alias("rank_fp"))
+    )
+
+    for _ in range(iterations):
+        # `div` is Spark's INTEGRAL division — (a*b)/c through doubles
+        # would lose exactness past 2^53 (rank_fp*w reaches ~1e16)
+        contrib = (
+            e.join(ranks, e.u == ranks.node)
+            .select(
+                F.col("v").alias("node"),
+                F.expr("(rank_fp * w) div w_out").alias("term"),
+            )
+            .groupBy("node")
+            .agg(F.sum("term").alias("in_sum"))
+        )
+        ranks = truncate(
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.coalesce("in_sum", F.lit(0)).alias("in_sum"),
+            )
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(f"({damping_pct} * in_sum) div 100")
+                ).alias("rank_fp"),
+            )
+        )
+    return ranks

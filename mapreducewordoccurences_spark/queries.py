@@ -8623,3 +8623,82 @@ def q_streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFr
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled fixed-point PageRank recurrence (DuckDB forbids
+    aggregates in recursive CTE terms, so the 10 iterations unroll
+    into chained CTEs — the oracle states EXACTLY the integer
+    recurrence operators/graph.py runs)."""
+    head = """
+    WITH seq AS (
+      SELECT event_type AS u,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS v
+      FROM events
+    ), edges AS (
+      SELECT u, v, count(*) AS w FROM seq WHERE v IS NOT NULL GROUP BY u, v
+    ), outw AS (
+      SELECT u, CAST(SUM(w) AS BIGINT) AS w_out FROM edges GROUP BY u
+    ), ew AS (
+      SELECT e.u, e.v, CAST(e.w AS BIGINT) AS w, o.w_out
+      FROM edges e JOIN outw o ON o.u = e.u
+    ), nodes AS (
+      SELECT u AS node FROM edges UNION SELECT v FROM edges
+    ), consts AS (
+      SELECT CAST(1000000000000 // cnt AS BIGINT) AS r0,
+             CAST((1000000000000 * 15) // (100 * cnt) AS BIGINT) AS tp
+      FROM (SELECT count(*) AS cnt FROM nodes)
+    ), pr0 AS (
+      SELECT node, (SELECT r0 FROM consts) AS rank_fp FROM nodes
+    )"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+    , pr{k} AS (
+      SELECT n.node,
+             CAST((SELECT tp FROM consts)
+                  + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS rank_fp
+      FROM nodes n LEFT JOIN (
+        SELECT ew.v AS node,
+               CAST(SUM((p.rank_fp * ew.w) // ew.w_out) AS BIGINT) AS in_sum
+        FROM ew JOIN pr{k - 1} p ON p.node = ew.u GROUP BY ew.v
+      ) s ON s.node = n.node
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT node, rank_fp FROM pr{iterations}
+    """
+
+
+@register("pagerank_event_transitions", _pagerank_oracle(10))
+def q_pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (which event
+    types are 'central' in user flows), 10 iterations, EXACT integer
+    fixed-point — the iterative-linear-algebra surface made
+    engine-portable: scaled int64 ranks with truncating integer
+    division make every iteration bit-identical across engines and
+    shuffle orders, so the driver can hash-match an iterative
+    algorithm that float arithmetic would leave ulp-divergent
+    (operators/graph.py; the oracle unrolls the identical recurrence
+    through 10 chained CTEs). Per iteration: one edges⋈ranks join +
+    one destination-keyed groupBy — the Pregel shape that scales to
+    web graphs; the event-type graph here is deliberately tiny so the
+    oracle stays cheap."""
+    from mapreducewordoccurences_spark.operators.graph import pagerank_fixed_point
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_micros(events, "ts"), F.col("event_id")
+    )
+    edges = (
+        events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixed_point(
+        edges, weight_col="w", iterations=10
+    ).select("node", "rank_fp")
