@@ -44,3 +44,22 @@ def test_results_invariant_under_shuffle_partitions(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert few == many, f"{name}: results changed with partition count"
+
+
+@pytest.mark.parametrize("name", ["q9_profit_by_nation_year",
+                                  "near_dedup_keepset",
+                                  "pagerank_event_transitions",
+                                  "window_topk_orders_per_cust"])
+def test_results_invariant_under_aqe_toggle(spark, name):
+    """AQE re-plans joins/partitions at runtime; results must not
+    depend on whether it ran (the decimal/fixed-point protocols and
+    total-order tiebreaks exist precisely for this)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = rows_of(QUERIES[name](spark, SF_DIR))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        on = rows_of(QUERIES[name](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert off == on

@@ -143,3 +143,43 @@ def test_snapshot_diff_equals_reference(spark, old_map, new_map):
         else:
             want[k] = "update"
     assert got == want
+
+
+# ---- round 5: PII pattern portability differential ------------------
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abXY019 .@-%_+:/,\n\t",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_pii_counts_match_python_re(spark, texts):
+    """For ANY string over a PII-relevant alphabet, Spark's
+    regexp_count per pattern must equal Python re.findall counts —
+    the patterns are written in the Java-regex ∩ RE2 ∩ Python-re
+    common dialect, and this differential locks that claim on
+    adversarial inputs (emails butted against IPs, dangling @, digit
+    runs split by separators)."""
+    import re as _re
+
+    from mapreducewordoccurences_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    cols = pii_counts("t")
+    got = {
+        r["i"]: {k: r[k] for k in PII_PATTERNS}
+        for r in df.select("i", *[cols[k].alias(k) for k in PII_PATTERNS]).collect()
+    }
+    for i, t in enumerate(texts):
+        for kind, pat in PII_PATTERNS.items():
+            want = len(_re.findall(pat, t))
+            assert got[i][kind] == want, (kind, t, got[i][kind], want)
