@@ -150,6 +150,7 @@ EXTRA = [
     "window_rank_family_prices",
     "pydatasource_corpus_stats",
     "pagerank_event_transitions",
+    "padding_waste_by_bucket",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

@@ -8702,3 +8702,47 @@ def q_pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(
         edges, weight_col="w", iterations=10
     ).select("node", "rank_fp")
+
+
+@register(
+    "padding_waste_by_bucket",
+    """
+    WITH toks AS (
+      SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      FROM documents
+    ), b AS (
+      SELECT n_tok, CAST(n_tok // 32 AS BIGINT) AS bucket FROM toks
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS bucket_max_tokens,
+           CAST(count(*) * max(n_tok) - SUM(n_tok) AS BIGINT)
+             AS padding_tokens,
+           CAST(count(*) * max(n_tok) AS BIGINT) AS padded_total_tokens
+    FROM b GROUP BY bucket
+    """,
+)
+def q_padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: group documents into 32-token
+    length buckets and measure the padding a per-bucket-max batching
+    scheme wastes — the number a training-data engineer uses to pick
+    bucket boundaries (uniform batching pads everything to the global
+    max; bucketing trades a shuffle for mostly-dense batches). One
+    token-count projection, one bucket groupBy — padding falls out of
+    the aggregate identity n·max(n_tok) − Σ n_tok, no second pass."""
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        F.size(tokens("text", lowercase=True)).alias("n_tok")
+    ).select("n_tok", F.expr("CAST(n_tok div 32 AS BIGINT)").alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").cast("bigint").alias("bucket_max_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tok")).cast("bigint").alias(
+            "padded_total_tokens"
+        ),
+    )
