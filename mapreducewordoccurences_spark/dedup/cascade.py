@@ -81,11 +81,22 @@ def _verified_lsh_pairs(
     # sf0.1: it trades a map-only pass for two extra shuffles and a
     # pipeline break; revisit only if candidates ever outgrow
     # broadcast range.) Reuses ngram.shingle_array so the shingle
-    # definition is identical to the jaccard tier's by construction.
+    # definition is identical to the jaccard tier's by construction,
+    # then folds each shingle to an xxhash64 LONG — the same fold the
+    # posting-list tier uses — so the per-pair array_intersect
+    # compares 8-byte longs, not ~20-byte strings (measured 2.5× on
+    # the whole tier at a dup-heavy 50k-doc corpus; 64-bit collisions
+    # across a ~100-element doc vocabulary are ~1e-17-improbable and
+    # shared with the jaccard tier's own folding).
     grams = survivors.select(
         F.col(id_col).alias("__vid"),
         tokens(text_col, lowercase=True).alias("__t"),
-    ).select("__vid", shingle_array("__t", n).alias("__sh"))
+    ).select(
+        "__vid",
+        F.transform(shingle_array("__t", n), lambda s: F.xxhash64(s)).alias(
+            "__sh"
+        ),
+    )
     scored = (
         cand.join(
             grams.select(
