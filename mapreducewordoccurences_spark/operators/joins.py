@@ -215,12 +215,16 @@ def interval_overlap_join(
         raise ValueError(f"overlapping column names: {sorted(clash)}")
 
     def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        # floor, not cast-truncation: trunc rounds TOWARD ZERO, so a
+        # negative-domain interval would land in the wrong bucket and
+        # silently miss overlaps; floor keeps buckets aligned on both
+        # sides of zero
         return df.withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
-                    (F.col(start) / F.lit(bucket_width)).cast("long"),
-                    (F.col(end) / F.lit(bucket_width)).cast("long"),
+                    F.floor(F.col(start) / F.lit(bucket_width)).cast("long"),
+                    F.floor(F.col(end) / F.lit(bucket_width)).cast("long"),
                 )
             ),
         )

@@ -407,3 +407,29 @@ class TestIntervalOverlapJoin:
             )
             got = {(r["lid"], r["rid"]) for r in out.collect()}
             assert got == expected, (w, len(got), len(expected))
+
+    def test_negative_domain_intervals(self, spark):
+        """Buckets must be FLOOR-aligned: intervals straddling or below
+        zero (pre-epoch timestamps, signed offsets) must still find
+        their overlaps — cast-truncation would round toward zero and
+        split the bucket space inconsistently."""
+        from mapreducewordoccurences_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, -25, -15), (2, -5, 5), (3, -100, -90)],
+            "lid bigint, ls bigint, le bigint",
+        )
+        right = spark.createDataFrame(
+            [(7, -20, -18), (8, 4, 9), (9, -95, -94), (10, 50, 60)],
+            "rid bigint, rs bigint, re bigint",
+        )
+        expected = {(1, 7), (2, 8), (3, 9)}
+        for w in (3, 10, 64):
+            out = interval_overlap_join(
+                left, right, "ls", "le", "rs", "re",
+                bucket_width=w, left_id="lid", right_id="rid",
+            )
+            got = {(r["lid"], r["rid"]) for r in out.collect()}
+            assert got == expected, (w, got)
