@@ -151,6 +151,7 @@ EXTRA = [
     "pydatasource_corpus_stats",
     "pagerank_event_transitions",
     "padding_waste_by_bucket",
+    "dedup_jaccard_prefix_filter",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

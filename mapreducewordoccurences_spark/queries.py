@@ -8746,3 +8746,30 @@ def q_padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "padded_total_tokens"
         ),
     )
+
+
+# shares the uncapped posting-list oracle: prefix filtering is an
+# exact algorithm, so both formulations must hash-match the same SQL
+_NGRAM_JACCARD_ORACLE = ORACLES["dedup_ngram_jaccard"]
+
+
+@register("dedup_jaccard_prefix_filter", _NGRAM_JACCARD_ORACLE)
+def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (SSJoin/PPJoin family):
+    the EXACT Jaccard-0.8 pair set computed by indexing only each
+    document's rarest ~20% of shingles (p = |d| − ceil(t·|d|) + 1
+    under one global rarity order) — any qualifying pair provably
+    collides in the indexed prefixes, so recall is 1.0 by theorem,
+    not by tuning, and the driver hash-matches it against the same
+    oracle as dedup_ngram_jaccard. This is the third exact-tier
+    formulation (full inverted index / df-capped / prefix-filtered):
+    at corpus scale the prefix index shrinks candidate volume without
+    the cap's approximation. dedup/prefix.py; rounded like the
+    sibling for value-hash canonicalization."""
+    from mapreducewordoccurences_spark.dedup.prefix import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )

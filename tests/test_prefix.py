@@ -1,0 +1,57 @@
+"""Prefix-filtering Jaccard join: output must be IDENTICAL to the
+uncapped posting-list join (exactness is the tier's whole claim), and
+the indexed fraction must actually shrink."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
+from mapreducewordoccurences_spark.dedup.prefix import (
+    prefix_filter_jaccard_pairs,
+    prefix_stats,
+)
+
+from tests.conftest import SF_DIR
+
+
+def pairs_of(df):
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.7, 0.8, 0.9])
+def test_identical_to_uncapped_posting_join(spark, threshold):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = pairs_of(ngram_jaccard_pairs(docs, n=3, threshold=threshold))
+    got = pairs_of(prefix_filter_jaccard_pairs(docs, n=3, threshold=threshold))
+    assert got == want
+
+
+def test_adversarial_small_corpus(spark):
+    # shared hot shingles + one rare pivot; includes docs below n tokens
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),       # J high vs 1
+        (3, "a b c d q r s t"),       # J moderate vs 1/2
+        (4, "z z"),                   # < n tokens → empty shingle set
+        (5, "a b c d e f g h"),       # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.99):
+        want = pairs_of(ngram_jaccard_pairs(docs, n=3, threshold=t))
+        got = pairs_of(prefix_filter_jaccard_pairs(docs, n=3, threshold=t))
+        assert got == want, t
+
+
+def test_prefix_index_fraction_shrinks(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = prefix_stats(docs, threshold=0.8).collect()[0]
+    assert 0 < row["prefix_postings"] < row["total_postings"]
+    # p = sz - ceil(0.8 sz) + 1 ≈ 0.2·sz (+1): comfortably under 40%
+    assert row["index_fraction"] < 0.4
+
+
+def test_bad_threshold_rejected(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(docs, threshold=0.0)
