@@ -109,6 +109,13 @@ def prefix_filter_jaccard_pairs(
             ),
             "doc_b",
         )
+        # length filter (exactness-preserving prune): J ≤ min/max, so
+        # J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|) — reject size-
+        # mismatched candidates BEFORE paying the array intersection
+        .where(
+            F.least("__sa", "__sb")
+            >= F.greatest("__sa", "__sb") * F.lit(float(threshold))
+        )
         .select(
             "doc_a",
             "doc_b",

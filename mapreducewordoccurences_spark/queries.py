@@ -8773,3 +8773,50 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     return prefix_filter_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.8
     )
+
+
+@register(
+    "bitmap_distinct_users_weekly",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+    )
+    SELECT CAST(day // 7 AS BIGINT) AS week,
+           count(DISTINCT user_id) AS n_users
+    FROM daily GROUP BY 1
+    """,
+)
+def q_bitmap_distinct_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct via Spark's bitmap aggregate family
+    (bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count) — the warehouse-native middle ground between exact
+    count_distinct (two full shuffles, no reusable partials) and HLL
+    sketches (mergeable but approximate): per-(day, bucket) bitmap
+    partials are built once, OR-merge to any coarser grain (weeks
+    here; months/quarters reuse the SAME partials), and the final
+    count is exact. At scale the partials persist beside the data and
+    every rollup window becomes a bitmap-OR over 4KB chunks instead
+    of a rescan. The oracle states the semantic ground truth
+    (count DISTINCT per week); matching it proves the partial → merge
+    → count pipeline loses nothing."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.select(
+        (ts_micros(events, "ts") / F.lit(86400000000)).cast("long").alias("day"),
+        "user_id",
+    )
+    partials = (
+        daily.selectExpr(
+            "CAST(day div 7 AS BIGINT) AS week",
+            "bitmap_bucket_number(user_id) AS bkt",
+            "bitmap_bit_position(user_id) AS pos",
+        )
+        .groupBy("week", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        partials.groupBy("week", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .select("week", F.expr("bitmap_count(bm)").alias("c"))
+        .groupBy("week")
+        .agg(F.sum("c").alias("n_users"))
+    )
