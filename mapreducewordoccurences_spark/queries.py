@@ -8820,3 +8820,96 @@ def q_bitmap_distinct_users_weekly(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("week")
         .agg(F.sum("c").alias("n_users"))
     )
+
+
+@register(
+    "pointintime_join_ship_priority",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderpriority,
+             epoch_us(o_orderdate) AS obs_us, o_orderkey,
+             CASE WHEN o_orderpriority IS DISTINCT FROM
+                       lag(o_orderpriority) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY epoch_us(o_orderdate), o_orderkey)
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+    ), r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY obs_us, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM s
+    ), g AS (
+      SELECT o_custkey, run, min(o_orderpriority) AS prio,
+             min(obs_us) AS valid_from
+      FROM r GROUP BY 1, 2
+    ), hist AS (
+      SELECT o_custkey, prio, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY valid_from) AS valid_to
+      FROM g
+    ), ship AS (
+      SELECT o.o_custkey, epoch_us(l.l_shipdate) AS ship_us,
+             l.l_extendedprice
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT h.prio AS priority_as_of_ship,
+           count(*) AS n_items,
+           CAST(SUM(CAST(s.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS shipped_value
+    FROM ship s JOIN hist h
+      ON h.o_custkey = s.o_custkey
+     AND s.ship_us >= h.valid_from
+     AND (h.valid_to IS NULL OR s.ship_us < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def q_pointintime_join_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal) join against an SCD2 history — the
+    feature-store "as-was" pattern: every shipped line item picks up
+    the customer's order-priority class that was VALID AT ship time
+    (not today's value — that's label leakage in a training set).
+    Composes scd2_build with a keyed validity-range join: the equi-key
+    (custkey) carries the join, the range predicate selects the one
+    valid version per row, and uniqueness of validity intervals
+    guarantees exactly one match — so row count is preserved, which
+    the oracle's count certifies. One history build (single per-key
+    shuffle) + one keyed join; no interval explosion because validity
+    ranges partition time per key."""
+    from mapreducewordoccurences_spark.operators.cdc import scd2_build
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    log = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        ts_micros(orders, "o_orderdate").alias("obs_us"),
+        "o_orderkey",
+    )
+    hist = scd2_build(
+        log, key="o_custkey", attr="o_orderpriority",
+        order_col="obs_us", tiebreak="o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        "valid_from",
+        "valid_to",
+    )
+    ship = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    ).select(
+        "o_custkey",
+        ts_micros(lineitem, "l_shipdate").alias("ship_us"),
+        "l_extendedprice",
+    )
+    joined = ship.join(
+        hist,
+        (ship.o_custkey == hist.o_custkey)
+        & (F.col("ship_us") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_us") < F.col("valid_to"))),
+    )
+    return joined.groupBy(F.col("prio").alias("priority_as_of_ship")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        decimal_sum("l_extendedprice", alias="shipped_value"),
+    )
