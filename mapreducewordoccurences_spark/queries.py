@@ -8844,9 +8844,13 @@ def q_bitmap_distinct_users_weekly(spark: SparkSession, sf_dir: str) -> DataFram
              min(obs_us) AS valid_from
       FROM r GROUP BY 1, 2
     ), hist AS (
+      -- lead ordered by the RUN INDEX, not valid_from: two runs can
+      -- share a valid_from (same-day priority flip), and the version
+      -- order is what scd2_build uses — a valid_from tie ordered the
+      -- other way flips which version covers the interval
       SELECT o_custkey, prio, valid_from,
              lead(valid_from) OVER (PARTITION BY o_custkey
-                                    ORDER BY valid_from) AS valid_to
+                                    ORDER BY run) AS valid_to
       FROM g
     ), ship AS (
       SELECT o.o_custkey, epoch_us(l.l_shipdate) AS ship_us,
