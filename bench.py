@@ -154,6 +154,7 @@ EXTRA = [
     "dedup_jaccard_prefix_filter",
     "bitmap_distinct_users_weekly",
     "pointintime_join_ship_priority",
+    "triangles_session_overlap_users",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

@@ -98,3 +98,76 @@ def pagerank_fixed_point(
             )
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """ONE-row triangle count of an undirected graph (plus node/edge
+    counts for context): (n_nodes, n_edges, n_triangles).
+
+    Algorithm: degree orientation (Suri & Vassilvitskii, WWW'11 —
+    the MapReduce classic). Every edge orients from its lower-rank
+    endpoint under the total order (degree, node); wedges are built
+    by joining out-edges on their source, and a wedge closes iff its
+    two endpoints are themselves an oriented edge. Orientation bounds
+    every vertex's out-degree by O(√m), so wedge volume is Σ d_out² ≤
+    O(m^1.5) — the naive u<v<w three-way join explodes on high-degree
+    hubs (a celebrity node with d followers contributes d² wedges; by
+    degree rank, its edges mostly point INTO it instead). All joins
+    are equi-joins on node ids; counting is exact integer work.
+    """
+    e = (
+        edges.select(
+            F.least(a_col, b_col).alias("u"), F.greatest(a_col, b_col).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, node): lower rank → higher rank
+    ranked = e.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    wedges = (
+        oriented.select(F.col("src"), F.col("dst").alias("w1"))
+        .join(
+            oriented.select(F.col("src"), F.col("dst").alias("w2")),
+            "src",
+        )
+        .where(F.col("w1") < F.col("w2"))
+    )
+    # a wedge (w1, w2) closes iff oriented edge w1→w2 or w2→w1 exists;
+    # since both orientations are possible under degree rank, check the
+    # undirected closure against e (u < v canonical form)
+    closure = e.select(
+        F.col("u").alias("c1"), F.col("v").alias("c2")
+    )
+    tri = wedges.join(
+        closure,
+        (F.least("w1", "w2") == F.col("c1"))
+        & (F.greatest("w1", "w2") == F.col("c2")),
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
