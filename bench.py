@@ -155,6 +155,9 @@ EXTRA = [
     "bitmap_distinct_users_weekly",
     "pointintime_join_ship_priority",
     "triangles_session_overlap_users",
+    "rfm_user_segments",
+    "time_to_convert_stats",
+    "degree_distribution_session_graph",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

@@ -9019,3 +9019,213 @@ def q_triangles_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges, "user_a", "user_b")
+
+
+@register(
+    "rfm_user_segments",
+    """
+    WITH agg AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             count(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             ntile(4) OVER (ORDER BY last_us DESC, user_id) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM agg
+    )
+    SELECT r, f, m, count(*) AS n_users
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q_rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics workhorse: each
+    purchasing user quartile-scored on Recency (latest purchase),
+    Frequency (purchase count), and Monetary (decimal-exact spend),
+    then counted per (r, f, m) cell. Every ntile ORDER BY carries the
+    user_id tiebreak so quartile assignment is total-ordered and
+    engine-portable. One purchase-filtered aggregation + three ntile
+    windows sharing one global sort domain + a 64-cell-bounded count.
+    The global ntile windows are single-partition by construction —
+    fine for the per-user AGGREGATE table (users ≪ events); the
+    event-scale work is all in the first keyed groupBy."""
+    events = _t(spark, sf_dir, "events")
+    agg = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(ts_micros(events, "ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            decimal_sum("value", alias="monetary"),
+        )
+    )
+    scored = agg.select(
+        F.ntile(4).over(Window.orderBy(F.col("last_us").desc(), "user_id")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "time_to_convert_stats",
+    """
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+      GROUP BY e.user_id
+    ), lag AS (
+      SELECT p.user_id, p.first_purchase_us - s.signup_us AS lag_us
+      FROM p JOIN s ON s.user_id = p.user_id
+    )
+    SELECT count(*) AS n_converted,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us) AS BIGINT)
+             AS p50_lag_us,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us) AS BIGINT)
+             AS p90_lag_us,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us
+    FROM lag
+    """,
+)
+def q_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency distribution: time from each user's first
+    signup to their first purchase AT OR AFTER it, summarized with
+    discrete percentiles (percentile_disc returns actual data values
+    — no cross-engine float interpolation). Two keyed aggregations +
+    one broadcastable join; the percentile runs over the
+    converted-users table (user-scale, not event-scale)."""
+    events = _t(spark, sf_dir, "events")
+    tus = ts_micros(events, "ts")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(tus).alias("signup_us"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", tus.alias("pus"))
+        .join(s, "user_id")
+        .where(F.col("pus") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min("pus").alias("first_purchase_us"),
+            F.first("signup_us").alias("signup_us"),
+        )
+    )
+    lag = p.select((F.col("first_purchase_us") - F.col("signup_us")).alias("lag_us"))
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p50_lag_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("bigint")
+        .alias("p90_lag_us"),
+        F.min("lag_us").cast("bigint").alias("min_lag_us"),
+        F.max("lag_us").cast("bigint").alias("max_lag_us"),
+    )
+
+
+@register(
+    "degree_distribution_session_graph",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, session_id,
+               min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM numbered GROUP BY 1, 2
+    ), e AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    ), deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q_degree_distribution_session_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the concurrent-usage graph — the first
+    thing to look at before running any graph algorithm on it (a
+    heavy-tailed histogram predicts hub blow-ups that degree-ordered
+    algorithms must absorb). Same bucketed interval-overlap edge
+    build, then one degree groupBy + one histogram groupBy."""
+    from mapreducewordoccurences_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_micros(events, "ts"), F.col("event_id")
+    )
+    tus = ts_micros(events, "ts")
+    numbered = events.select(
+        "user_id",
+        tus.alias("ts_us"),
+        F.when(tus - F.lag(tus).over(w) > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    ).select(
+        "user_id",
+        "ts_us",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"), F.col("session_id").alias("sid_a"),
+        F.col("start_us").alias("start_a"), F.col("end_us").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"), F.col("session_id").alias("sid_b"),
+        F.col("start_us").alias("start_b"), F.col("end_us").alias("end_b"),
+    )
+    edges = (
+        interval_overlap_join(
+            a, b, "start_a", "end_a", "start_b", "end_b",
+            bucket_width=3_600_000_000,
+            left_id=["user_a", "sid_a"], right_id=["user_b", "sid_b"],
+        )
+        .where(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("user_a").alias("node"))
+        .unionAll(edges.select(F.col("user_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
