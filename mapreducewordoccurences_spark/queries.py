@@ -9229,3 +9229,96 @@ def q_degree_distribution_session_graph(spark: SparkSession, sf_dir: str) -> Dat
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "cusum_daily_value_shift",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(round(value * 10000) AS BIGINT)) AS x_fp
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT day, x_fp,
+             count(*) OVER () AS n,
+             SUM(x_fp) OVER () AS total
+      FROM daily
+    ), p AS (
+      -- deviations scaled by n so the mean subtraction stays integral:
+      -- d = n*x - total  (exact; no mean rounding anywhere)
+      SELECT day,
+             SUM(n * x_fp - total) OVER (ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING) AS pref,
+             n
+      FROM c
+    ), s AS (
+      -- one-sided CUSUM via the prefix identity:
+      -- S_t = max(0, S_{t-1} + d_t) = P_t - min(0, min_{j<=t} P_j)
+      SELECT day,
+             pref - least(CAST(0 AS BIGINT),
+                          min(pref) OVER (ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING))
+               AS cusum_fp,
+             n
+      FROM p
+    )
+    SELECT day, cusum_fp,
+           cusum_fp > 3 * (SELECT CAST(stddev_pop(x_fp) AS BIGINT) * max(n)
+                           FROM c) AS alarm
+    FROM s
+    """,
+)
+def q_cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily value series — the
+    sequential-analysis complement to the distributional drift family
+    (PSI/KS/chi² catch WHAT shifted; CUSUM catches WHEN a persistent
+    mean shift began). The recursion S_t = max(0, S_{t-1} + d_t) is
+    not a plain window aggregate, but the classic identity
+    S_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P makes it two
+    running windows — no iterative driver loop. All arithmetic is
+    exact int64: values fix-point at 1e-4, deviations scale by n
+    (d = n·x − Σx) so the mean never rounds, and the alarm threshold
+    compares like-scaled integers. Day axis is one global ordered
+    window over the DAILY aggregate (days ≪ events — bounded)."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            (ts_micros(events, "ts") / F.lit(86400000000)).cast("long").alias("day"),
+            F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v_fp"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v_fp").alias("x_fp"))
+    )
+    wall = Window.partitionBy()
+    c = daily.select(
+        "day",
+        "x_fp",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x_fp").over(wall).alias("total"),
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = c.select(
+        "day",
+        F.sum(F.col("n") * F.col("x_fp") - F.col("total")).over(wrun).alias("pref"),
+        "n",
+        "x_fp",
+    )
+    s = p.select(
+        "day",
+        (
+            F.col("pref")
+            - F.least(F.lit(0).cast("bigint"), F.min("pref").over(wrun))
+        ).alias("cusum_fp"),
+        "n",
+        "x_fp",
+    )
+    thresh = (
+        daily.agg(
+            (F.expr("CAST(stddev_pop(x_fp) AS BIGINT)")).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select((F.lit(3) * F.col("sd") * F.col("n")).alias("h"))
+    )
+    return s.crossJoin(F.broadcast(thresh)).select(
+        "day", "cusum_fp", (F.col("cusum_fp") > F.col("h")).alias("alarm")
+    )

@@ -175,3 +175,30 @@ def test_psi_from_bucket_counts_default_names(spark):
     ).collect()[0]
     assert row["n_a"] == row["n_b"] == 100
     assert row["psi"] > 0.25  # mass halved onto 0..4: major shift
+
+
+def test_cusum_identity_matches_recursion(spark):
+    """The window formulation S_t = P_t − min(0, min_{j≤t} P_j) must
+    equal the direct recursion S_t = max(0, S_{t-1} + d_t) computed
+    in pure Python over the same daily aggregates."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from mapreducewordoccurences_spark.queries import QUERIES
+
+    rows = QUERIES["cusum_daily_value_shift"](spark, SF_DIR).orderBy("day").collect()
+
+    daily = duckdb.sql(f"""
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               SUM(CAST(round(value * 10000) AS BIGINT)) AS x
+        FROM '{SF_DIR}/events.parquet' GROUP BY 1 ORDER BY day
+    """).fetchall()
+    n = len(daily)
+    total = sum(x for _, x in daily)
+    s, expect = 0, {}
+    for day, x in daily:
+        d = n * x - total
+        s = max(0, s + d)
+        expect[day] = s
+    got = {r["day"]: r["cusum_fp"] for r in rows}
+    assert got == expect
