@@ -159,6 +159,7 @@ EXTRA = [
     "time_to_convert_stats",
     "degree_distribution_session_graph",
     "cusum_daily_value_shift",
+    "label_noise_knn_disagreement",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

@@ -9322,3 +9322,57 @@ def q_cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(F.broadcast(thresh)).select(
         "day", "cusum_fp", (F.col("cusum_fp") > F.col("h")).alias("alarm")
     )
+
+
+@register(
+    "label_noise_knn_disagreement",
+    """
+    WITH nn AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             e.label AS n_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 100
+    )
+    SELECT query_id, q_label AS label,
+           count(CASE WHEN n_label <> q_label THEN 1 END) AS n_disagree,
+           count(CASE WHEN n_label <> q_label THEN 1 END) * 1.0 / 5
+             AS disagreement
+    FROM nn WHERE rnk <= 5
+    GROUP BY query_id, q_label
+    """,
+)
+def q_label_noise_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening via kNN disagreement — a standard
+    training-data QA pass (Confident Learning's cheap cousin): for
+    each probe vector, the share of its 5 nearest neighbors (cosine)
+    carrying a DIFFERENT label; points whose neighborhoods
+    consistently disagree are mislabel candidates for human review.
+    Reuses the brute-force kNN probe tier (rank order is float-stable
+    on random embeddings; output is ids + integer counts + one
+    int/int divide, all portable). 100 probes here; the scale path is
+    the IVF/LSH ANN tiers feeding the same disagreement aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100)
+    nn = brute_force_knn(emb, queries, k=5)
+    labeled = (
+        nn.join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")),
+            "query_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")),
+            "neighbor_id",
+        )
+    )
+    return labeled.groupBy("query_id", F.col("q_label").alias("label")).agg(
+        F.count(F.when(F.col("n_label") != F.col("q_label"), 1)).alias("n_disagree"),
+        (
+            F.count(F.when(F.col("n_label") != F.col("q_label"), 1)) * 1.0 / 5
+        ).alias("disagreement"),
+    )
