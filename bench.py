@@ -160,6 +160,7 @@ EXTRA = [
     "degree_distribution_session_graph",
     "cusum_daily_value_shift",
     "label_noise_knn_disagreement",
+    "vocab_shift_js_divergence",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

@@ -9376,3 +9376,92 @@ def q_label_noise_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.when(F.col("n_label") != F.col("q_label"), 1)) * 1.0 / 5
         ).alias("disagreement"),
     )
+
+
+@register(
+    "vocab_shift_js_divergence",
+    """
+    WITH toks AS (
+      SELECT CAST(substr(source, 4) AS INT) < 10 AS side_a,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), a AS (
+      SELECT word, count(*) AS na FROM toks WHERE side_a GROUP BY word
+    ), b AS (
+      SELECT word, count(*) AS nb FROM toks WHERE NOT side_a GROUP BY word
+    ), j AS (
+      SELECT COALESCE(a.word, b.word) AS word,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM a FULL OUTER JOIN b ON a.word = b.word
+    ), terms AS (
+      SELECT na, nb,
+             CAST(trunc((
+               CASE WHEN na > 0 THEN
+                 0.5 * (na / SUM(na) OVER ())
+                     * ln((na / SUM(na) OVER ())
+                          / (0.5 * (na / SUM(na) OVER ())
+                             + 0.5 * (nb / SUM(nb) OVER ())))
+               ELSE 0 END
+               +
+               CASE WHEN nb > 0 THEN
+                 0.5 * (nb / SUM(nb) OVER ())
+                     * ln((nb / SUM(nb) OVER ())
+                          / (0.5 * (na / SUM(na) OVER ())
+                             + 0.5 * (nb / SUM(nb) OVER ())))
+               ELSE 0 END) * 1e8) AS BIGINT) AS term_fp
+      FROM j
+    )
+    SELECT SUM(term_fp) / 1e8 AS js_divergence,
+           count(*) AS vocab_size,
+           SUM(na) AS n_tokens_a,
+           SUM(nb) AS n_tokens_b
+    FROM terms
+    """,
+)
+def q_vocab_shift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-distribution shift between two corpus halves
+    (sources src0-9 vs src10-19) as Jensen-Shannon divergence — the
+    TEXT-drift gate next to the numeric family (PSI/KS monitor value
+    columns; JS over token distributions answers 'did the language
+    itself move', bounded in [0, ln 2], symmetric, zero-safe without
+    smoothing because p·ln(p/m) → 0). Token terms follow the drift
+    family's portability protocol: exact int ratios, per-term trunc
+    to 1e-8 fixed point, order-free integer sum. Two token counts at
+    data scale; everything else lives on the vocabulary axis."""
+    from mapreducewordoccurences_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.substring("source", 4, 10).cast("int") < 10).alias("side_a"),
+        F.explode(tokens("text", lowercase=True)).alias("word"),
+    )
+    a = toks.where("side_a").groupBy("word").agg(F.count(F.lit(1)).alias("na"))
+    b = toks.where("NOT side_a").groupBy("word").agg(F.count(F.lit(1)).alias("nb"))
+    j = (
+        a.join(b, "word", "full_outer")
+        .select(
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    wall = Window.partitionBy()
+    pa = F.col("na") / F.sum("na").over(wall)
+    pb = F.col("nb") / F.sum("nb").over(wall)
+    m = 0.5 * pa + 0.5 * pb
+    term = (
+        F.when(F.col("na") > 0, 0.5 * pa * F.log(pa / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("nb") > 0, 0.5 * pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    )
+    # cast("bigint") truncates toward zero ≡ the oracle's trunc; every
+    # JS term is a KL(·||M) contribution ≥ 0, so no sign subtleties
+    terms = j.select(
+        "na",
+        "nb",
+        (term * F.lit(1e8)).cast("bigint").alias("term_fp"),
+    )
+    return terms.agg(
+        (F.sum("term_fp") / F.lit(1e8)).alias("js_divergence"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("na").alias("n_tokens_a"),
+        F.sum("nb").alias("n_tokens_b"),
+    )
