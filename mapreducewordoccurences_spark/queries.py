@@ -9337,7 +9337,7 @@ def q_cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
                         e.vec_id) AS rnk
       FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-      WHERE q.vec_id < 100
+      WHERE q.vec_id < 50
     )
     SELECT query_id, q_label AS label,
            count(CASE WHEN n_label <> q_label THEN 1 END) AS n_disagree,
@@ -9355,10 +9355,10 @@ def q_label_noise_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFram
     consistently disagree are mislabel candidates for human review.
     Reuses the brute-force kNN probe tier (rank order is float-stable
     on random embeddings; output is ids + integer counts + one
-    int/int divide, all portable). 100 probes here; the scale path is
+    int/int divide, all portable). 50 probes here; the scale path is
     the IVF/LSH ANN tiers feeding the same disagreement aggregate."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 100)
+    queries = emb.where(F.col("vec_id") < 50)
     nn = brute_force_knn(emb, queries, k=5)
     labeled = (
         nn.join(
