@@ -165,3 +165,40 @@ def test_incremental_minhash_matches_full_lsh_cross_pairs(spark):
         if (r["doc_a"] % 10 == 0) != (r["doc_b"] % 10 == 0)
     }
     assert inc == full
+
+
+def test_minhash_index_parquet_roundtrip(spark, tmp_path):
+    """The stored-index contract: band table + signatures written to
+    parquet (partitioned by band, the documented scale layout) and
+    read back must give the incremental join identical candidates to
+    the in-memory index."""
+    from mapreducewordoccurences_spark.dedup.minhash import (
+        minhash_band_index,
+        minhash_lsh_incremental_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    is_new = F.col("doc_id") % 10 == 0
+    sigs, bands = minhash_band_index(docs.where(~is_new))
+    sigs.write.mode("overwrite").parquet(str(tmp_path / "sigs"))
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        str(tmp_path / "bands")
+    )
+    sigs2 = spark.read.parquet(str(tmp_path / "sigs"))
+    bands2 = spark.read.parquet(str(tmp_path / "bands")).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "band_hash"
+    )
+    mem = {
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in minhash_lsh_incremental_pairs(
+            docs.where(is_new), sigs, bands, threshold=0.7
+        ).collect()
+    }
+    disk = {
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in minhash_lsh_incremental_pairs(
+            docs.where(is_new), sigs2, bands2, threshold=0.7
+        ).collect()
+    }
+    assert mem == disk and len(mem) > 0

@@ -55,3 +55,45 @@ def test_bad_threshold_rejected(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError):
         prefix_filter_jaccard_pairs(docs, threshold=0.0)
+
+
+def test_random_corpora_match_python_reference(spark):
+    """Randomized differential: prefix-filter output must equal a
+    pure-Python all-pairs shingle Jaccard on random word soups
+    (heavy shared vocabulary + planted near-dups + tiny docs)."""
+    import itertools
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randrange(2, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted near-dups: copy with a one-word tweak
+    for i in range(40, 50):
+        base = docs[i - 40][1]
+        words = base.split()
+        if len(words) > 4:
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words)))
+
+    def shingles(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    for t in (0.4, 0.8):
+        expect = {}
+        sh = {i: shingles(s) for i, s in docs}
+        for (ia, sa), (ib, sb) in itertools.combinations(sorted(sh.items()), 2):
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= t:
+                expect[(ia, ib)] = j
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = pairs_of(prefix_filter_jaccard_pairs(df, n=3, threshold=t))
+        assert got == expect, (t, len(got), len(expect))
