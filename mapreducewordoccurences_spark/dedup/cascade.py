@@ -42,11 +42,8 @@ from pyspark.sql import functions as F
 from mapreducewordoccurences_spark.dedup.clusters import connected_components
 from mapreducewordoccurences_spark.dedup.exact import doc_fingerprint
 from mapreducewordoccurences_spark.dedup.minhash import minhash_lsh_pairs
-from mapreducewordoccurences_spark.dedup.ngram import (
-    ngram_jaccard_pairs,
-    shingle_array,
-)
-from mapreducewordoccurences_spark.functions.text import tokens
+from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
+from mapreducewordoccurences_spark.dedup.verify import exact_verify_pairs
 
 
 def _verified_lsh_pairs(
@@ -63,7 +60,9 @@ def _verified_lsh_pairs(
     filtered at ``threshold``. Candidates are generated at a low
     estimated-Jaccard cut (default 0.5 ≈ the band S-curve midpoint)
     so recall stays ~1; precision is restored by the exact
-    verification, which touches candidate pairs only."""
+    verification (dedup/verify.py — the shared verifier tier; the
+    scale/broadcast rationale lives in its module docstring), which
+    touches candidate pairs only."""
     cand = minhash_lsh_pairs(
         survivors,
         id_col=id_col,
@@ -73,57 +72,10 @@ def _verified_lsh_pairs(
         bands=bands,
         threshold=candidate_est_threshold,
     ).select("doc_a", "doc_b")
-    # per-doc distinct shingle ARRAY (map-only build over survivors):
-    # verification joins it to each side of the candidate list, and
-    # AQE broadcasts the small candidate side, so the gram table is
-    # consumed map-side — no corpus-sized shuffle. (A candidate-first
-    # semi-join to bound the gram build was measured 2 s SLOWER at
-    # sf0.1: it trades a map-only pass for two extra shuffles and a
-    # pipeline break; revisit only if candidates ever outgrow
-    # broadcast range.) Reuses ngram.shingle_array so the shingle
-    # definition is identical to the jaccard tier's by construction,
-    # then folds each shingle to an xxhash64 LONG — the same fold the
-    # posting-list tier uses — so the per-pair array_intersect
-    # compares 8-byte longs, not ~20-byte strings (measured 2.5× on
-    # the whole tier at a dup-heavy 50k-doc corpus; 64-bit collisions
-    # across a ~100-element doc vocabulary are ~1e-17-improbable and
-    # shared with the jaccard tier's own folding).
-    grams = survivors.select(
-        F.col(id_col).alias("__vid"),
-        tokens(text_col, lowercase=True).alias("__t"),
-    ).select(
-        "__vid",
-        F.transform(shingle_array("__t", n), lambda s: F.xxhash64(s)).alias(
-            "__sh"
-        ),
+    return exact_verify_pairs(
+        survivors, cand, id_col=id_col, text_col=text_col, n=n,
+        threshold=threshold,
     )
-    scored = (
-        cand.join(
-            grams.select(
-                F.col("__vid").alias("doc_a"), F.col("__sh").alias("__sh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            grams.select(
-                F.col("__vid").alias("doc_b"), F.col("__sh").alias("__sh_b")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("__sh_a", "__sh_b"))
-                / (
-                    F.size("__sh_a")
-                    + F.size("__sh_b")
-                    - F.size(F.array_intersect("__sh_a", "__sh_b"))
-                )
-            ).alias("jaccard"),
-        )
-    )
-    return scored.where(F.col("jaccard") >= threshold)
 
 
 def dedup_cascade(

@@ -33,6 +33,7 @@ from mapreducewordoccurences_spark.dedup.exact import exact_dup_groups
 from mapreducewordoccurences_spark.dedup.minhash import minhash_lsh_pairs
 from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
 from mapreducewordoccurences_spark.dedup.simhash import simhash_near_dup_pairs
+from mapreducewordoccurences_spark.dedup.verify import exact_verify_pairs
 from mapreducewordoccurences_spark.functions.similarity import brute_force_knn, lsh_knn
 from mapreducewordoccurences_spark.functions.text import language_id, quality_score, text_stats
 from mapreducewordoccurences_spark.operators.aggregates import (
@@ -62,6 +63,33 @@ def register(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# shared exact-pair CTE for the sketch-tier oracles (3-gram shingle
+# Jaccard, the same text pipeline as dedup_ngram_jaccard). Defined
+# before first use — both the verified pair-set queries (early) and
+# the recall-acceptance rows (later) format it.
+_EXACT_PAIRS_CTE = """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+             )) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+            FROM documents)
+      WHERE len(s) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes x ON x.doc_id = doc_a
+                 JOIN sizes y ON y.doc_id = doc_b
+      WHERE i / (x.n + y.n - i) >= {thr}
+    )
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -552,24 +580,64 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh_pairs")  # non-SQL-expressible portably → rows-only
+@register(
+    "dedup_minhash_lsh_pairs",
+    _EXACT_PAIRS_CTE.format(thr=0.7)
+    + """
+    SELECT doc_a, doc_b, i / (x.n + y.n - i) AS jaccard
+    FROM inter JOIN sizes x ON x.doc_id = doc_a
+               JOIN sizes y ON y.doc_id = doc_b
+    WHERE i / (x.n + y.n - i) >= 0.7
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw MinHash-LSH candidate pair set (hash-seeded, so not portable
-    SQL → rows-only check). The oracle-checkable contract of this tier
-    lives under ``dedup_minhash_lsh`` (recall-acceptance vs the exact
-    Jaccard pairs)."""
-    return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.7
-    ).select("doc_a", "doc_b", "est_jaccard")
+    """MinHash-LSH near-dup pair set, EXACT-VERIFIED: banded LSH
+    candidates (generated at a low est-Jaccard cut of 0.5 — the band
+    S-curve midpoint — so recall is ~1) are re-scored with exact
+    distinct-shingle Jaccard (dedup/verify.py) and cut at 0.7. The
+    output is therefore the exact Jaccard-0.7 pair set whenever LSH
+    recall is 1.0 (the acceptance row ``dedup_minhash_lsh`` gates
+    recall ≥ 0.9; observed 1.0 at every tested sf, and at the 0.5
+    candidate cut the per-pair miss probability for a J=0.7 pair is
+    (1-0.7⁴)¹⁶ ≈ 9e-3 → planted dups at J≈1 are never missed) — so
+    the hash-match against the exact-pair oracle doubles as an
+    end-to-end recall gate. The raw hash-seeded candidate set itself
+    is not portable SQL; this verified formulation is.
+
+    Scale shape: banding bounds candidate volume; the exact scorer
+    touches candidates only (same tier as dedup_cascade's LSH path).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return exact_verify_pairs(docs, cand, threshold=0.7)
 
 
-@register("dedup_simhash_pairs")  # rows-only: 63-bit vote arithmetic not portable SQL
+@register(
+    "dedup_simhash_pairs",
+    _EXACT_PAIRS_CTE.format(thr=0.8)
+    + """
+    SELECT doc_a, doc_b, i / (x.n + y.n - i) AS jaccard
+    FROM inter JOIN sizes x ON x.doc_id = doc_a
+               JOIN sizes y ON y.doc_id = doc_b
+    WHERE i / (x.n + y.n - i) >= 0.8
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw SimHash near-dup pair set (rows-only; see ``dedup_simhash``
-    for the oracle-checked acceptance contract of this tier)."""
-    return simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), max_distance=8
+    """SimHash near-dup pair set, EXACT-VERIFIED: pigeonhole-block
+    candidates at Hamming ≤ 16 (a generous cut — recall of the
+    Jaccard-0.8 set observed 1.0; the acceptance row ``dedup_simhash``
+    gates ≥ 0.85 at the tighter Hamming ≤ 8) re-scored with exact
+    distinct-shingle Jaccard and cut at 0.8, making the output the
+    exact Jaccard-0.8 pair set — portable SQL, unlike the raw 63-bit
+    vote arithmetic. Hash-match against the exact-pair oracle is an
+    end-to-end recall gate for the sketch tier."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = simhash_near_dup_pairs(docs, max_distance=16).select(
+        "doc_a", "doc_b"
     )
+    return exact_verify_pairs(docs, cand, threshold=0.8)
 
 
 @register(
@@ -7187,29 +7255,8 @@ def q_order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared exact-pair CTE for the sketch-tier acceptance oracles (3-gram
-# shingle Jaccard, the same text pipeline as dedup_ngram_jaccard)
-_EXACT_PAIRS_CTE = """
-    WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(
-               [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
-             )) AS shingle
-      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
-            FROM documents)
-      WHERE len(s) >= 3
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), exact AS (
-      SELECT doc_a, doc_b
-      FROM inter JOIN sizes x ON x.doc_id = doc_a
-                 JOIN sizes y ON y.doc_id = doc_b
-      WHERE i / (x.n + y.n - i) >= {thr}
-    )
-"""
+# (_EXACT_PAIRS_CTE is defined near the top of the file, above its
+# first use by the verified sketch pair-set queries.)
 
 
 @register(
