@@ -5981,6 +5981,7 @@ def q_bucketed_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("pos") == 1, 1)).alias("np"),
         F.count(F.when(F.col("pos") == 0, 1)).alias("nn"),
     )
+    # bounded axis: score buckets (floor(score*100) → ≤ ~200 rows)
     wbelow = (
         Window.partitionBy()
         .orderBy("bucket")
@@ -6100,6 +6101,8 @@ def q_pareto_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").cast("double").alias("trev"),
         F.sum("n_orders").alias("tn"),
     )
+    # bounded axis: price buckets (fixed bucket width over a bounded
+    # price domain → hundreds of rows regardless of order volume)
     wtop = (
         Window.partitionBy()
         .orderBy(F.col("bucket").desc())
@@ -6710,6 +6713,8 @@ def q_quantile_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     merged = daily.groupBy("bucket").agg(F.sum("n").alias("n"))
+    # bounded axis: merged histogram buckets (value/2 over a bounded
+    # value domain), not the event axis
     wcum = (
         Window.partitionBy()
         .orderBy("bucket")
@@ -6863,6 +6868,7 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_sum("o_totalprice", 4, "revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    # bounded axis: calendar months (one row per month of history)
     w = Window.partitionBy().orderBy("month")
     return m.select(
         F.col("month").cast("date").alias("month"),
@@ -7074,10 +7080,22 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
     corpus vocabulary — natural language sits near −1; templated or
     synthetic corpora deviate hard, making this a cheap whole-corpus
-    naturalness gate. The rank sort runs over the DISTINCT-WORD set
-    (≪ corpus — the same cardinality argument as the wordcount sort);
-    moments use the fixed-point protocol. x = ln(rank) is positive,
-    so trunc/CAST agree across engines."""
+    naturalness gate. Moments use the fixed-point protocol;
+    x = ln(rank) is positive, so trunc/CAST agree across engines.
+
+    Scale design — NO global vocabulary sort: an earlier formulation
+    ranked the whole vocabulary with an unpartitioned row_number (a
+    single-partition sort over 10⁸-10⁹ words web-scale). But y=ln(c)
+    is CONSTANT within a frequency-tie class, so which tied word gets
+    which rank never affects the OLS moments — only each class's rank
+    block [offset+1, offset+size] does. So: group words into
+    frequency classes (distinct counts k are ≤ √(2·Σc) — ~450k even
+    at 100T tokens, a bounded axis safe to window over), cumulate
+    offsets on that small axis, then regenerate the rank blocks
+    distributively with sequence+explode, chunked to 64k so a giant
+    class (the hapaxes are ~half the vocabulary) spreads across
+    tasks instead of exploding inside one. Identical (x, y) multiset
+    → identical sums as the ranked formulation, shared oracle."""
     docs = _t(spark, sf_dir, "documents")
     from mapreducewordoccurences_spark.functions.text import tokens
 
@@ -7086,9 +7104,38 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wr = Window.partitionBy().orderBy(F.col("c").desc(), "w")
-    ranked = vocab.select(
-        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+    classes = vocab.groupBy("c").agg(F.count(F.lit(1)).alias("s"))
+    # bounded axis: distinct frequency values (see docstring)
+    wcls = (
+        Window.partitionBy()
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = classes.select(
+        "c", "s", F.coalesce(F.sum("s").over(wcls), F.lit(0)).alias("o")
+    )
+    _CH = 1 << 16
+    chunks = offs.select(
+        "c",
+        "s",
+        "o",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), ((F.col("s") - 1) / _CH).cast("long"))
+        ).alias("k"),
+    ).repartition("c", "k")
+    ranked = chunks.select(
+        "c",
+        F.explode(
+            F.sequence(
+                F.col("o") + F.col("k") * _CH + 1,
+                F.least(
+                    F.col("o") + (F.col("k") + 1) * _CH,
+                    F.col("o") + F.col("s"),
+                ),
+            )
+        ).alias("r"),
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )
     fp = lambda c: F.expr(f"CAST(({c}) * 1e6 AS BIGINT)")  # noqa: E731
@@ -7866,6 +7913,7 @@ def q_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("nation").isNull() & F.col("region").isNotNull(),
                F.col("balance"))
     ).over(Window.partitionBy("region"))
+    # bounded axis: the rollup's own output (region·nation cells)
     grand_total = F.sum(
         F.when(F.col("region").isNull(), F.col("balance"))
     ).over(Window.partitionBy())
@@ -9077,12 +9125,27 @@ def q_triangles_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS frequency,
              CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS monetary
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
-    ), scored AS (
-      SELECT user_id,
-             ntile(4) OVER (ORDER BY last_us DESC, user_id) AS r,
-             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
-             ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+    ), qs AS (
+      SELECT
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY last_us) AS r_q1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY last_us) AS r_q2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY last_us) AS r_q3,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f_q1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) AS f_q2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f_q3,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary) AS m_q1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary) AS m_q2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary) AS m_q3
       FROM agg
+    ), scored AS (
+      SELECT
+        CASE WHEN last_us >= r_q3 THEN 1 WHEN last_us >= r_q2 THEN 2
+             WHEN last_us >= r_q1 THEN 3 ELSE 4 END AS r,
+        CASE WHEN frequency >= f_q3 THEN 1 WHEN frequency >= f_q2 THEN 2
+             WHEN frequency >= f_q1 THEN 3 ELSE 4 END AS f,
+        CASE WHEN monetary >= m_q3 THEN 1 WHEN monetary >= m_q2 THEN 2
+             WHEN monetary >= m_q1 THEN 3 ELSE 4 END AS m
+      FROM agg, qs
     )
     SELECT r, f, m, count(*) AS n_users
     FROM scored GROUP BY r, f, m
@@ -9092,13 +9155,19 @@ def q_rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the marketing-analytics workhorse: each
     purchasing user quartile-scored on Recency (latest purchase),
     Frequency (purchase count), and Monetary (decimal-exact spend),
-    then counted per (r, f, m) cell. Every ntile ORDER BY carries the
-    user_id tiebreak so quartile assignment is total-ordered and
-    engine-portable. One purchase-filtered aggregation + three ntile
-    windows sharing one global sort domain + a 64-cell-bounded count.
-    The global ntile windows are single-partition by construction —
-    fine for the per-user AGGREGATE table (users ≪ events); the
-    event-scale work is all in the first keyed groupBy."""
+    then counted per (r, f, m) cell; score 1 = top quartile on that
+    dimension.
+
+    Scale design: an earlier formulation used three global ntile(4)
+    windows — single-partition sorts over the whole user table, a
+    scale-killer at billions of users. This one computes the three
+    quartile boundaries ONCE with exact percentile_disc (verified to
+    agree with DuckDB's at every tested n) in a regular aggregation,
+    broadcasts the 1-row boundary table, and bands each user with
+    embarrassingly-parallel comparisons — no global sort anywhere.
+    Value-banding vs rank-banding: users tied on a boundary VALUE
+    land in the same band (the defensible semantics; ntile split
+    ties arbitrarily by user_id)."""
     events = _t(spark, sf_dir, "events")
     agg = (
         events.where(F.col("event_type") == "purchase")
@@ -9109,10 +9178,27 @@ def q_rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_sum("value", alias="monetary"),
         )
     )
-    scored = agg.select(
-        F.ntile(4).over(Window.orderBy(F.col("last_us").desc(), "user_id")).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id")).alias("m"),
+    qs = agg.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{d}_q{i}")
+            for c, d in (("last_us", "r"), ("frequency", "f"), ("monetary", "m"))
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def band(c: str, d: str):
+        return (
+            F.when(F.col(c) >= F.col(f"{d}_q3"), 1)
+            .when(F.col(c) >= F.col(f"{d}_q2"), 2)
+            .when(F.col(c) >= F.col(f"{d}_q1"), 3)
+            .otherwise(4)
+            .alias(d)
+        )
+
+    scored = agg.crossJoin(F.broadcast(qs)).select(
+        band("last_us", "r"), band("frequency", "f"), band("monetary", "m")
     )
     return scored.groupBy("r", "f", "m").agg(F.count(F.lit(1)).alias("n_users"))
 
@@ -9310,8 +9396,14 @@ def q_degree_distribution_session_graph(spark: SparkSession, sf_dir: str) -> Dat
       FROM p
     )
     SELECT day, cusum_fp,
-           cusum_fp > 3 * (SELECT CAST(stddev_pop(x_fp) AS BIGINT) * max(n)
-                           FROM c) AS alarm
+           -- alarm: cusum > 3·sd_pop·n, compared in SQUARES so the
+           -- whole predicate is exact integer arithmetic (HUGEINT):
+           -- cusum² > 9·n²·var = 9·(n·Σx² − (Σx)²). No libm stddev,
+           -- no float truncation → bit-portable across engines.
+           CAST(cusum_fp AS HUGEINT) * cusum_fp >
+             9 * (SELECT max(n) * SUM(CAST(x_fp AS HUGEINT) * x_fp)
+                         - SUM(CAST(x_fp AS HUGEINT)) * SUM(CAST(x_fp AS HUGEINT))
+                  FROM c) AS alarm
     FROM s
     """,
 )
@@ -9322,11 +9414,16 @@ def q_cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean shift began). The recursion S_t = max(0, S_{t-1} + d_t) is
     not a plain window aggregate, but the classic identity
     S_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P makes it two
-    running windows — no iterative driver loop. All arithmetic is
-    exact int64: values fix-point at 1e-4, deviations scale by n
-    (d = n·x − Σx) so the mean never rounds, and the alarm threshold
-    compares like-scaled integers. Day axis is one global ordered
-    window over the DAILY aggregate (days ≪ events — bounded)."""
+    running windows — no iterative driver loop. ALL arithmetic is
+    exact integer: values fix-point at 1e-4, deviations scale by n
+    (d = n·x − Σx) so the mean never rounds, and the 3σ alarm is
+    compared in SQUARES — cusum² > 9·(n·Σx² − (Σx)²) — so even the
+    population variance stays integral (decimal(38,0) on the Spark
+    side, HUGEINT in the oracle; magnitudes ≤ ~1e29 at any plausible
+    day count, well inside both). No libm stddev/sqrt anywhere →
+    bit-portable and immune to one-ulp truncation flips. Day axis is
+    one global ordered window over the DAILY aggregate (days ≪
+    events — bounded)."""
     events = _t(spark, sf_dir, "events")
     daily = (
         events.select(
@@ -9336,6 +9433,7 @@ def q_cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("v_fp").alias("x_fp"))
     )
+    # bounded axis: calendar days (the DAILY aggregate, ≪ events)
     wall = Window.partitionBy()
     c = daily.select(
         "day",
@@ -9359,15 +9457,19 @@ def q_cusum_daily_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "x_fp",
     )
-    thresh = (
-        daily.agg(
-            (F.expr("CAST(stddev_pop(x_fp) AS BIGINT)")).alias("sd"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select((F.lit(3) * F.col("sd") * F.col("n")).alias("h"))
+    xdec = F.col("x_fp").cast("decimal(38,0)")
+    thresh = daily.agg(
+        (
+            F.lit(9).cast("decimal(38,0)")
+            * (
+                F.count(F.lit(1)) * F.sum(xdec * xdec)
+                - F.sum(xdec) * F.sum(xdec)
+            )
+        ).alias("h9")
     )
+    cdec = F.col("cusum_fp").cast("decimal(38,0)")
     return s.crossJoin(F.broadcast(thresh)).select(
-        "day", "cusum_fp", (F.col("cusum_fp") > F.col("h")).alias("alarm")
+        "day", "cusum_fp", (cdec * cdec > F.col("h9")).alias("alarm")
     )
 
 
@@ -9440,25 +9542,25 @@ def q_label_noise_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT COALESCE(a.word, b.word) AS word,
              COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
       FROM a FULL OUTER JOIN b ON a.word = b.word
+    ), tot AS (
+      SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j
     ), terms AS (
       SELECT na, nb,
              CAST(trunc((
                CASE WHEN na > 0 THEN
-                 0.5 * (na / SUM(na) OVER ())
-                     * ln((na / SUM(na) OVER ())
-                          / (0.5 * (na / SUM(na) OVER ())
-                             + 0.5 * (nb / SUM(nb) OVER ())))
+                 0.5 * (na / ta)
+                     * ln((na / ta)
+                          / (0.5 * (na / ta) + 0.5 * (nb / tb)))
                ELSE 0 END
                +
                CASE WHEN nb > 0 THEN
-                 0.5 * (nb / SUM(nb) OVER ())
-                     * ln((nb / SUM(nb) OVER ())
-                          / (0.5 * (na / SUM(na) OVER ())
-                             + 0.5 * (nb / SUM(nb) OVER ())))
-               ELSE 0 END) * 1e8) AS BIGINT) AS term_fp
-      FROM j
+                 0.5 * (nb / tb)
+                     * ln((nb / tb)
+                          / (0.5 * (na / ta) + 0.5 * (nb / tb)))
+               ELSE 0 END) * 1e6) AS BIGINT) AS term_fp
+      FROM j, tot
     )
-    SELECT SUM(term_fp) / 1e8 AS js_divergence,
+    SELECT SUM(term_fp) / 1e6 AS js_divergence,
            count(*) AS vocab_size,
            SUM(na) AS n_tokens_a,
            SUM(nb) AS n_tokens_b
@@ -9473,8 +9575,17 @@ def q_vocab_shift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself move', bounded in [0, ln 2], symmetric, zero-safe without
     smoothing because p·ln(p/m) → 0). Token terms follow the drift
     family's portability protocol: exact int ratios, per-term trunc
-    to 1e-8 fixed point, order-free integer sum. Two token counts at
-    data scale; everything else lives on the vocabulary axis."""
+    to fixed point, order-free integer sum; the grain is 1e-6 —
+    coarse enough that a one-ulp libm difference between engines'
+    ln() can't plausibly straddle a truncation boundary, fine enough
+    for a drift metric bounded by ln 2.
+
+    Scale design: corpus token totals come from a plain two-value
+    ``agg`` broadcast-crossJoined back onto the vocabulary — NOT an
+    unpartitioned window, which would funnel the full vocabulary
+    (10⁸-10⁹ rows web-scale, hapax-heavy) through one partition's
+    sort. Per-term math is embarrassingly parallel; the only
+    full-data shuffles are the two word-count groupBys."""
     from mapreducewordoccurences_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -9491,9 +9602,10 @@ def q_vocab_shift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nb", F.lit(0)).alias("nb"),
         )
     )
-    wall = Window.partitionBy()
-    pa = F.col("na") / F.sum("na").over(wall)
-    pb = F.col("nb") / F.sum("nb").over(wall)
+    tot = j.agg(F.sum("na").alias("__ta"), F.sum("nb").alias("__tb"))
+    jt = j.crossJoin(F.broadcast(tot))
+    pa = F.col("na") / F.col("__ta")
+    pb = F.col("nb") / F.col("__tb")
     m = 0.5 * pa + 0.5 * pb
     term = (
         F.when(F.col("na") > 0, 0.5 * pa * F.log(pa / m)).otherwise(F.lit(0.0))
@@ -9501,13 +9613,13 @@ def q_vocab_shift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cast("bigint") truncates toward zero ≡ the oracle's trunc; every
     # JS term is a KL(·||M) contribution ≥ 0, so no sign subtleties
-    terms = j.select(
+    terms = jt.select(
         "na",
         "nb",
-        (term * F.lit(1e8)).cast("bigint").alias("term_fp"),
+        (term * F.lit(1e6)).cast("bigint").alias("term_fp"),
     )
     return terms.agg(
-        (F.sum("term_fp") / F.lit(1e8)).alias("js_divergence"),
+        (F.sum("term_fp") / F.lit(1e6)).alias("js_divergence"),
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum("na").alias("n_tokens_a"),
         F.sum("nb").alias("n_tokens_b"),

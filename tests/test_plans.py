@@ -339,3 +339,51 @@ def test_catalog_has_no_cartesian_products(spark):
         except Exception as e:  # plan construction must succeed too
             offenders.append(f"{name}: {type(e).__name__}")
     assert not offenders, offenders
+
+
+def test_rfm_bands_by_broadcast_join_no_global_window(spark):
+    """rfm_user_segments must quartile-band via exact percentile
+    boundaries broadcast back onto the user table — NOT global
+    ntile windows, which single-partition-sort the whole user axis
+    (unbounded at scale)."""
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    df = q(spark, "rfm_user_segments")
+    plan = formatted_plan(df)
+    assert "ntile(" not in plan  # ("ntile" alone matches perceNTILE_disc)
+    import re
+
+    assert not re.search(r"^\(\d+\) Window\s*$", plan, re.MULTILINE)
+    assert has_broadcast_join(df)  # 1-row boundary table broadcast
+
+
+def test_vocab_shift_no_window_over_vocabulary(spark):
+    """vocab_shift_js_divergence computes corpus token totals with a
+    plain agg + broadcast crossJoin; an unpartitioned window here
+    would sort the full vocabulary (hapax-heavy, 10⁸-10⁹ rows
+    web-scale) in one partition."""
+    import re
+
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    df = q(spark, "vocab_shift_js_divergence")
+    plan = formatted_plan(df)
+    assert not re.search(r"^\(\d+\) Window\s*$", plan, re.MULTILINE)
+    assert has_broadcast_join(df)
+    assert not has_python_eval(df)
+
+
+def test_zipf_windows_only_the_class_axis(spark):
+    """zipf_slope_vocabulary's only window runs over distinct
+    frequency CLASSES (≤ √(2·tokens) rows — bounded); the
+    vocabulary-sized rank rows are regenerated by a distributed
+    sequence+explode, never a global row_number over the vocab."""
+    import re
+
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    df = q(spark, "zipf_slope_vocabulary")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window\s*$", plan, re.MULTILINE)) == 1
+    assert "row_number" not in plan
+    assert "Generate" in plan  # the sequence-explode rank blocks
