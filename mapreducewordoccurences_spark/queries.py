@@ -7505,10 +7505,68 @@ def q_approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_learn_merges")  # rows-only: the iterative argmax loop is
-# not portable SQL; locked instead by tests/test_bpe.py's differential
-# against a pure-Python BPE reference (exact merge-list equality) and a
-# partition-invariance check
+def _bpe_oracle(rounds: int = 10) -> str:
+    """Unrolled BPE-learning recurrence for DuckDB — the iterative
+    argmax loop stated as chained CTEs, one per merge round (the
+    pagerank-oracle pattern). The trick that makes the greedy
+    left-to-right non-overlapping merge portable SQL: encode each
+    word's symbol array as a DOUBLE-separator string (';a;;b;;c;',
+    every symbol individually wrapped), where the pair (a,b) is the
+    substring ';a;;b;' and DuckDB's replace() — which scans left to
+    right and resumes AFTER each replacement — performs exactly the
+    greedy non-overlapping fold (the doubled separator means a
+    replacement never consumes the boundary of the next match; a
+    single-separator encoding would). Separator ';' can't collide:
+    symbols come from [a-z0-9]+ tokens. Every vocab CTE is
+    MATERIALIZED: each round references its predecessor twice
+    (pair counts + merge application), so DuckDB's default CTE
+    inlining would expand the chain 2^rounds times."""
+    head = """
+    WITH v0 AS MATERIALIZED (
+      SELECT word, count(*) AS freq,
+             ';' || regexp_replace(word, '(.)', '\\1;;', 'g') AS s
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents)
+      GROUP BY word
+    )"""
+    steps = []
+    for k in range(1, rounds + 1):
+        p = k - 1
+        steps.append(f"""
+    , pc{k} AS MATERIALIZED (
+      SELECT p.lft, p.rgt, CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM (
+        SELECT freq,
+               unnest([{{'lft': syms[i], 'rgt': syms[i+1]}}
+                       for i in range(1, len(syms))]) AS p
+        FROM (SELECT freq, str_split(trim(s, ';'), ';;') AS syms FROM v{p})
+        WHERE len(syms) >= 2
+      )
+      GROUP BY p.lft, p.rgt
+    ), t{k} AS MATERIALIZED (
+      SELECT lft, rgt, pair_count FROM pc{k}
+      WHERE pair_count >= 2
+      ORDER BY pair_count DESC, lft, rgt LIMIT 1
+    ), v{k} AS MATERIALIZED (
+      SELECT word, freq,
+             CASE WHEN (SELECT count(*) FROM t{k}) = 0 THEN s
+                  ELSE replace(s,
+                               ';' || (SELECT lft FROM t{k}) || ';;'
+                                   || (SELECT rgt FROM t{k}) || ';',
+                               ';' || (SELECT lft FROM t{k})
+                                   || (SELECT rgt FROM t{k}) || ';')
+             END AS s
+      FROM v{p}
+    )""")
+    tail = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({k} AS INT) AS merge_rank, lft AS "left",
+           rgt AS "right", lft || rgt AS merged, pair_count FROM t{k}"""
+        for k in range(1, rounds + 1)
+    )
+    return head + "".join(steps) + "\n" + tail
+
+
+@register("bpe_learn_merges", _bpe_oracle(10))
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-vocabulary learning on the corpus
     (functions/bpe.py): 10 merge rounds over the word-frequency
@@ -7517,7 +7575,13 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is how production BPE trainers scale; merge application is
     a built-in aggregate() fold (no Python row path), argmax is a
     one-row driver scalar per round, lineage is checkpoint-truncated
-    (the connected-components discipline)."""
+    (the connected-components discipline). Fully oracle-gated: every
+    quantity is integer (pair counts) or exact string manipulation
+    with a total-order argmax tiebreak, so the 10-round loop is
+    bit-portable and the DuckDB oracle unrolls the identical
+    recurrence through chained CTEs (see _bpe_oracle); additionally
+    differential-tested against a pure-Python BPE reference in
+    tests/test_bpe.py."""
     from mapreducewordoccurences_spark.functions.bpe import bpe_merge_table
 
     return bpe_merge_table(
