@@ -118,11 +118,20 @@ def psi_from_bucket_counts(
     half of ``psi``, exposed so a streaming monitor can score each
     micro-batch against a FROZEN reference histogram without
     re-bucketing the reference (streaming/drift_monitor.py)."""
-    # Normalize positionally BEFORE joining: resolving the count
-    # columns by name (a.columns[1]) breaks when both histograms carry
-    # the same count name — e.g. two bucket_counts() outputs with the
-    # default "n" — because after the full_outer join that name is
-    # ambiguous (AMBIGUOUS_REFERENCE). toDF makes any input naming work.
+    # Contract: each input is exactly (bucket, count), bucket FIRST —
+    # asserted here because the rename below is positional. Positional
+    # (not by-name) because resolving count columns by name breaks
+    # when both histograms carry the same count name — e.g. two
+    # bucket_counts() outputs with the default "n" — making the name
+    # ambiguous after the full_outer join (AMBIGUOUS_REFERENCE). A
+    # swapped column order would silently bind counts as buckets, so
+    # reject anything that isn't the documented two-column shape.
+    for side, df_ in (("a", a), ("b", b)):
+        if len(df_.columns) != 2 or df_.columns[0].lower() != "bucket":
+            raise ValueError(
+                "psi_from_bucket_counts expects (bucket, count) with "
+                f"'bucket' first; side {side} has columns {df_.columns}"
+            )
     a = a.toDF("bucket", "na")
     b = b.toDF("bucket", "nb")
     joined = a.join(b, "bucket", "full_outer").select(

@@ -5256,7 +5256,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_containment_pairs(
         _t(spark, sf_dir, "documents"),
-        n=3, threshold=0.9, max_shingle_df=64,
+        n=3, threshold=0.9, max_shingle_df=None,
     )
 
 
@@ -5625,7 +5625,7 @@ def q_near_dedup_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_tier="jaccard",
         n=3,
         threshold=0.8,
-        max_shingle_df=64,
+        max_shingle_df=None,
     )
 
 
@@ -7326,7 +7326,7 @@ def q_minhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.7, max_shingle_df=64
+        docs, n=3, threshold=0.7, max_shingle_df=None
     ).select("doc_a", "doc_b")
     lsh = minhash_lsh_pairs(
         docs, num_perm=64, bands=16, threshold=0.7
@@ -7358,7 +7358,7 @@ def q_simhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch than MinHash, hence the lower floor)."""
     docs = _t(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.8, max_shingle_df=64
+        docs, n=3, threshold=0.8, max_shingle_df=None
     ).select("doc_a", "doc_b")
     sim = simhash_near_dup_pairs(docs, max_distance=8).select("doc_a", "doc_b")
     hits = exact.join(sim, ["doc_a", "doc_b"]).agg(
@@ -7403,7 +7403,7 @@ def q_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
     Same single-shuffle posting-list plan as the dedup tier, scored
     once, counted at every cutoff via conditional aggregation."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=64)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs_50"),
         F.count(F.when(F.col("jaccard") >= 0.7, 1)).alias("n_pairs_70"),
@@ -8489,7 +8489,13 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Acceptance contract mirrors dedup_minhash_lsh: the incremental
     candidates must recall ≥ 0.9 of the exact cross-batch
     Jaccard-0.7 pairs (the hash-matched count), and recall_ok must
-    come back TRUE for the value-hash to match."""
+    come back TRUE for the value-hash to match. The exact denominator
+    runs UNCAPPED (max_shingle_df=None) so it is definitionally the
+    same pair set as the uncapped oracle CTE — a df cap here could
+    silently shrink both recall numerator and denominator the day a
+    shingle's document frequency crosses it (the verifier tier is
+    oracle-scale by contract; production candidate tiers are where
+    the cap belongs)."""
     from mapreducewordoccurences_spark.dedup.minhash import (
         minhash_band_index,
         minhash_lsh_incremental_pairs,
@@ -8506,7 +8512,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("new_id", "index_id").alias("doc_b"),
     )
     exact = (
-        ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_shingle_df=64)
+        ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_shingle_df=None)
         .where((F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0))
         .select("doc_a", "doc_b")
     )
