@@ -264,25 +264,68 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "extra_total_sec": round(sum(extra.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "startup_sec": round(startup, 3),
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "runs_per_query": runs,
-                "cpus": int(cpus),
-                "errors": errors,
-            }
-        ),
-        flush=True,
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "extra_total_sec": round(sum(extra.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "startup_sec": round(startup, 3),
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "runs_per_query": runs,
+        "cpus": int(cpus),
+        "errors": errors,
+    }
+
+    # Per-query regression gate (tools/bench_diff.py): compare against
+    # the previous round's FULL local record — the driver's BENCH_r{N}
+    # artifacts tail-capture stdout and can truncate the per-query
+    # dump, which made r4→r5 comparison archaeology. The full record
+    # persists to BENCH_local_r{R}.json; "regressions" rides in both
+    # output lines (empty list = nothing >1.5× and >0.3 s slower).
+    regressions: list[dict] = []
+    prev_path = None
+    try:
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, repo_dir)
+        from tools.bench_diff import diff_records, latest_local_record, record_round
+
+        prev_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_PREV"
+        ) or latest_local_record(repo_dir, like=record)
+        if prev_path and os.path.exists(prev_path):
+            with open(prev_path) as f:
+                regressions = diff_records(json.load(f), record)
+        # round number comes from the newest record regardless of
+        # comparability — a smoke run at another sf must not reset
+        # the numbering back to r1
+        latest_any = latest_local_record(repo_dir)
+        rnd = os.environ.get("SPARK_GRAFT_ROUND") or str(
+            (record_round(latest_any) if latest_any else 0) + 1
+        )
+        out_path = os.path.join(repo_dir, f"BENCH_local_r{int(rnd)}.json")
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    **record,
+                    "regressions": regressions,
+                    "regressions_baseline": os.path.basename(prev_path)
+                    if prev_path
+                    else None,
+                },
+                f,
+                indent=1,
+            )
+    except Exception as exc:  # noqa: BLE001 — the gate must never kill the bench
+        print(f"bench: regression gate skipped: {exc}", file=sys.stderr)
+
+    record["regressions"] = regressions
+    record["regressions_baseline"] = (
+        os.path.basename(prev_path) if prev_path else None
     )
+    print(json.dumps(record), flush=True)
     # The full dump above is ~6 KB (190+ per-query timings) and can
     # exceed a log tail capture, truncating the FRONT of the line where
     # "value" lives (this is exactly what nulled BENCH_r04's parsed
@@ -302,6 +345,11 @@ def main() -> int:
                 "n_errors": len(errors),
                 "cpus": int(cpus),
                 "runs_per_query": runs,
+                # full per-query prev/cur detail lives in the
+                # BENCH_local_r{R}.json record; the compact line keeps
+                # the names so a tail capture still shows what moved
+                "regressions": [r["query"] for r in regressions],
+                "n_regressions": len(regressions),
             }
         ),
         flush=True,
