@@ -1,0 +1,110 @@
+"""Exact duplicated-substring detection (fixed-window rolling hash).
+
+The training-data dedup result from Lee et al., "Deduplicating
+Training Data Makes Language Models Better" (ACL 2022): exact
+substrings repeated across documents (license boilerplate, templated
+pages, quoted passages) should be found and excised even when the
+containing documents are NOT near-duplicates — document-level
+MinHash/SimHash misses them entirely, which is why this operator sits
+beside the document-level family in dedup/.
+
+The paper builds a corpus-wide suffix array; the equivalent
+DataFrame-native formulation used here detects every duplicated span
+of length >= L via **L-token rolling windows**: a span of length
+``s >= L`` is duplicated iff all ``s - L + 1`` of its L-windows are
+duplicated, so flagging duplicated windows and coalescing adjacent
+flagged positions (an islands pass per document) reconstructs exactly
+the maximal duplicated spans the suffix array would report, with only
+scan + groupBy + window primitives:
+
+1. tokenize, emit (doc, pos, xxhash64(window)) for every L-window —
+   one row per token, computed JVM-side inside a single ``transform``
+   over the token array (no Python, no self-join);
+2. a window hash occurring in >= 2 DISTINCT docs marks a cross-doc
+   duplicated window (within-doc repeats are deliberately excluded —
+   self-repetition is a different signal, covered by the text-stats
+   family);
+3. per-doc islands over flagged positions merge overlapping windows
+   into maximal spans; covered tokens of a [p0, p1] island are
+   ``p1 - p0 + L``.
+
+Scale: step 1 is embarrassingly parallel and linear in corpus tokens;
+step 2 is ONE groupBy on the 64-bit window hash (map-side partial
+counts; the hash key is uniform by construction so no skew); step 3
+shuffles only the FLAGGED positions, partitioned by doc_id — a
+bounded per-document axis. Nothing is quadratic: the all-pairs
+structure lives inside the groupBy, exactly where a shuffle engine
+wants it. Hash folding (64-bit xxhash64 instead of the window string)
+is what makes the shuffle payload ~8 bytes/token instead of ~8·L;
+collision probability over N windows is ~N²/2⁶⁵ — at 10¹² windows
+~3%·ε per corpus, and a collision can only over-flag one window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def window_hashes(
+    docs: DataFrame,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, win_h): xxhash64 of each L-token rolling window of
+    the lowercased [a-z0-9]+ tokenization, entirely JVM-side."""
+    toks = docs.select(
+        id_col,
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias("w"),
+    )
+    return toks.where(F.size("w") >= window).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {window}),"
+                f" i -> xxhash64(concat_ws(' ', slice(w, i + 1, {window}))))"
+            )
+        ).alias("pos", "win_h"),
+    )
+
+
+def duplicate_window_spans(
+    docs: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document maximal cross-doc duplicated spans: one row per
+    document that contains at least one duplicated L-window —
+    (id, n_spans, n_dup_windows, dup_tokens), where ``dup_tokens`` is
+    the total token count covered by the union of duplicated spans
+    (the paper's "fraction of corpus removed" numerator)."""
+    wins = window_hashes(docs, window, text_col, id_col)
+    dup = (
+        wins.groupBy("win_h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("win_h")
+    )
+    flagged = wins.join(dup, "win_h").select(id_col, "pos")
+
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    wrun = wd.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (
+        flagged.select(
+            id_col,
+            "pos",
+            F.when(F.col("pos") - F.lag("pos").over(wd) == 1, 0)
+            .otherwise(1)
+            .alias("is_new"),
+        )
+        .select(id_col, "pos", F.sum("is_new").over(wrun).alias("span_id"))
+        .groupBy(id_col, "span_id")
+        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("p1") - F.col("p0") + 1).alias("n_dup_windows"),
+        F.sum(F.col("p1") - F.col("p0") + F.lit(window)).alias("dup_tokens"),
+    )

@@ -171,3 +171,59 @@ def triangle_count(
         .crossJoin(F.broadcast(n_tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int = 3,
+    iterations: int = 8,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition membership of an undirected graph:
+    (node, core_degree) for every node of the k-core — the maximal
+    subgraph where every vertex keeps degree >= k — after
+    ``iterations`` peel rounds (Matula & Beck's algorithm, the
+    standard bulk-synchronous form: repeatedly drop vertices with
+    degree < k and recount). The peel is monotone — the alive set
+    only shrinks — so running extra rounds past convergence is a
+    no-op, and a fixed round count makes the operator expressible as
+    an unrolled SQL recurrence for the oracle.
+
+    Scale: each round is one semi-join of the (symmetrized, distinct)
+    edge list against the alive set + one degree groupBy — both keyed
+    on node ids, both shuffle-partitioned, no driver-side graph
+    state. Lineage is truncated per round (core/checkpointing.py), so
+    the plan stays round-count-independent; pass ``checkpoint_dir``
+    for reliable checkpoints on a cluster. Peel depth (rounds to
+    converge) is small on heavy-tailed graphs — degeneracy-ordering
+    literature reports O(log n)-ish rounds in practice; at 100 TB the
+    same loop runs with a convergence check (alive count stable)
+    instead of a fixed count.
+    """
+    from mapreducewordoccurences_spark.core.checkpointing import make_truncate
+
+    truncate = make_truncate(edges, checkpoint_dir)
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    sym = truncate(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+
+    alive = None  # round 0 counts over the full graph
+    deg = None
+    for _ in range(iterations):
+        live = sym
+        if alive is not None:
+            live = (
+                live.join(alive.select(F.col("node").alias("u")), "u", "semi")
+                .join(alive.select(F.col("node").alias("v")), "v", "semi")
+            )
+        deg = live.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
+        alive = truncate(deg.where(F.col("core_degree") >= k).select("node"))
+    return deg.where(F.col("core_degree") >= k)

@@ -9762,3 +9762,298 @@ def q_vocab_shift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na").alias("n_tokens_a"),
         F.sum("nb").alias("n_tokens_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: substring-level dedup, leakage-audited splits, packing, k-core
+# ---------------------------------------------------------------------------
+
+@register(
+    "substring_dedup_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, unnest(
+               [{'pos': i, 'win': array_to_string(w[i+1:i+10], ' ')}
+                for i in range(0, len(w) - 9)], recursive := true)
+      FROM t WHERE len(w) >= 10
+    ), dup AS (
+      SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT doc_id, pos FROM wins WHERE win IN (SELECT win FROM dup)
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       = 1 THEN 0 ELSE 1 END AS is_new
+      FROM flagged
+    ), numbered AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, span_id, min(pos) AS p0, max(pos) AS p1
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(p1 - p0 + 1) AS BIGINT) AS n_dup_windows,
+           CAST(sum(p1 - p0 + 10) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans (>= 10 tokens, cross-document)
+    per Lee et al. ACL'22 — the dedup tier document-level sketches
+    can't see: boilerplate/quotes repeated inside otherwise-unique
+    documents. dedup/substrings.py replaces the paper's monolithic
+    suffix array with L-token rolling-window hashes + a per-doc
+    islands merge, which reconstructs the same maximal spans with one
+    hash-keyed groupBy (uniform key, map-side combine) + one
+    doc-partitioned window — both linear, both skew-free. The oracle
+    states the identical window/islands pipeline over the window
+    STRINGS; the engine ships 8-byte xxhash64 folds instead (the
+    shuffle-payload scale story; collisions are ~N²/2⁶⁵)."""
+    from mapreducewordoccurences_spark.dedup.substrings import (
+        duplicate_window_spans,
+    )
+
+    return duplicate_window_spans(_t(spark, sf_dir, "documents"), window=10)
+
+
+_GROUP_SPLIT_SQL = """
+    , splits AS (
+      SELECT doc_id, source,
+             CASE WHEN b < 52428 THEN 'train'
+                  WHEN b < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+                   CAST(concat('0x', substr(md5('grp' || source), 1, 4))
+                        AS INT) AS b
+            FROM documents)
+    )
+"""
+
+
+@register(
+    "group_split_leakage_audit",
+    _EXACT_PAIRS_CTE.format(thr=0.7)
+    + _GROUP_SPLIT_SQL
+    + """
+    , pairsplit AS (
+      SELECT a.split AS sa, b.split AS sb
+      FROM exact JOIN splits a ON exact.doc_a = a.doc_id
+                 JOIN splits b ON exact.doc_b = b.doc_id
+    )
+    SELECT
+      (SELECT count(*) FROM splits WHERE split = 'train') AS n_train,
+      (SELECT count(*) FROM splits WHERE split = 'val') AS n_val,
+      (SELECT count(*) FROM splits WHERE split = 'test') AS n_test,
+      (SELECT count(DISTINCT source) FROM splits) AS n_sources,
+      (SELECT count(*) FROM (
+         SELECT source FROM splits
+         GROUP BY source HAVING count(DISTINCT split) > 1)
+      ) AS n_group_violations,
+      (SELECT count(*) FROM pairsplit) AS n_near_dup_pairs,
+      (SELECT count(*) FROM pairsplit WHERE sa <> sb) AS n_cross_split_pairs
+    """,
+)
+def q_group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split + eval-leakage audit — the
+    split discipline a training pipeline actually needs: splitting by
+    document id leaks a source's boilerplate and near-duplicate pages
+    across the eval boundary; splitting by the GROUP key (source)
+    guarantees no group straddles splits (audited to 0 here), and the
+    residual risk — near-duplicate pairs (shingle Jaccard >= 0.7)
+    whose endpoints landed in DIFFERENT splits — is counted
+    explicitly as the metric eval-decontamination teams review.
+
+    Scale: split assignment is a pure md5 projection (no shuffle,
+    engine-portable — functions/sampling.py); the audit reuses the
+    uncapped posting-list pair generation (dedup/ngram.py), already
+    linear-by-banding; the split labels join onto pairs as two
+    id-keyed equi-joins. The one-row output aggregates via broadcast
+    crossJoins of three bounded aggregates."""
+    from mapreducewordoccurences_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = hash_split(
+        docs.select("doc_id", "source"),
+        id_col="source",
+        weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        salt="grp",
+    )
+    split_counts = splits.agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    violations = (
+        splits.groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .agg(F.count(F.when(F.col("k") > 1, 1)).alias("n_group_violations"))
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7, max_shingle_df=None)
+    labeled = pairs.join(
+        splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+        "doc_a",
+    ).join(
+        splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+        "doc_b",
+    )
+    leak = labeled.agg(
+        F.count(F.lit(1)).alias("n_near_dup_pairs"),
+        F.count(F.when(F.col("sa") != F.col("sb"), 1)).alias(
+            "n_cross_split_pairs"
+        ),
+    )
+    return split_counts.crossJoin(F.broadcast(violations)).crossJoin(
+        F.broadcast(leak)
+    )
+
+
+@register(
+    "sequence_packing_stats",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      FROM documents
+    ), placed AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tok) + 511) // 512 AS BIGINT) AS n_chunks,
+           CAST((sum(n_tok) + 511) // 512 * 512 - sum(n_tok) AS BIGINT)
+             AS waste_tokens,
+           sum(n_tok) * 1.0 / ((sum(n_tok) + 511) // 512 * 512) AS fill_rate,
+           CAST(count(*) FILTER (WHERE n_tok > 0 AND
+                  (cum - n_tok) // 512 <> (cum - 1) // 512) AS BIGINT)
+             AS n_straddling_docs
+    FROM placed GROUP BY source
+    """,
+)
+def q_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit for LLM pretraining: per source, pack
+    the corpus concat-then-chunk style (concatenate token streams in
+    deterministic doc_id order, cut every 512 tokens — the standard
+    pretraining packing) and report chunks, tail waste, fill rate,
+    and how many documents straddle a chunk boundary (the
+    attention-contamination statistic packing-with-masking papers
+    track).
+
+    Scale: token counts are a scan-side projection; the prefix sum is
+    a window partitioned BY SOURCE — the packing axis itself, so the
+    sort is per-source and parallel across sources. A single
+    pathological mega-source would serialize its own prefix sum (any
+    engine's sequential-concat semantics does); shard such sources
+    upstream (split_thresholds on a finer key) if packing order
+    within the source is not semantic. fill_rate is one int/int
+    divide (deterministic IEEE)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    placed = toks.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    chunks = F.expr("(sum(n_tok) + 511) div 512")
+    return placed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        chunks.alias("n_chunks"),
+        (chunks * 512 - F.sum("n_tok")).alias("waste_tokens"),
+        (F.sum("n_tok") * F.lit(1.0) / (chunks * 512)).alias("fill_rate"),
+        F.count(
+            F.when(
+                (F.col("n_tok") > 0)
+                & (
+                    F.expr("(cum - n_tok) div 512")
+                    != F.expr("(cum - 1) div 512")
+                ),
+                1,
+            )
+        ).alias("n_straddling_docs"),
+    )
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Unrolled SQL for the k-core peel (appended after a CTE that
+    defines ``exact`` pairs): round i recounts degrees over edges
+    whose endpoints both survived round i-1. Same recurrence as
+    operators/graph.py kcore_membership; monotone, so rounds past
+    convergence are no-ops."""
+    parts = [
+        """
+    , sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM exact
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM exact
+    )"""
+    ]
+    for i in range(rounds):
+        live = (
+            "sym"
+            if i == 0
+            else f"""sym
+           WHERE u IN (SELECT node FROM a{i - 1})
+             AND v IN (SELECT node FROM a{i - 1})"""
+        )
+        parts.append(
+            f"""
+    , d{i} AS (
+      SELECT u AS node, count(*) AS core_degree FROM {live} GROUP BY u
+    ), a{i} AS (
+      SELECT node FROM d{i} WHERE core_degree >= {k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS doc_id, core_degree
+    FROM d{rounds - 1} WHERE core_degree >= {k}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "kcore_near_dup_docs",
+    _EXACT_PAIRS_CTE.format(thr=0.5) + _kcore_unrolled_sql(k=2, rounds=5),
+)
+def q_kcore_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the document near-dup graph (shingle Jaccard >= 0.5)
+    — dedup-cluster QA: connected components over near-dup pairs
+    over-merge through CHAIN links (A~B~C with A!~C, the classic
+    transitive-closure false merge); the 2-core keeps exactly the
+    docs with >= 2 surviving similar neighbors — the dense template
+    clusters worth aggressive dedup — and peels chain links and
+    pendants. Matula-Beck bulk peel, 5 unrolled rounds (converges in
+    <= 2 on every tested sf; monotone, so extra rounds are no-ops —
+    at 100 TB the operator loops on an alive-count convergence check
+    instead).
+
+    Scale: pair generation is the uncapped posting-list join
+    (dedup/ngram.py); each peel round is two node-keyed semi-joins +
+    one degree groupBy with lineage truncation
+    (operators/graph.py kcore_membership) — no driver graph state."""
+    from mapreducewordoccurences_spark.operators.graph import kcore_membership
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
+    return kcore_membership(
+        pairs, k=2, iterations=5, a_col="doc_a", b_col="doc_b"
+    ).select(F.col("node").alias("doc_id"), "core_degree")

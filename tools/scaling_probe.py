@@ -1,15 +1,23 @@
 """Empirical scaling probe: time representative catalog operators at
-sf0.001 / sf0.01 / sf0.1 and fit the per-decade growth factor.
+sf0.01 / sf0.1 / sf1 and fit the per-decade growth factor.
 
 The SCALE.md design audit argues each family is ~linear in input
-size; this tool MEASURES it on the three driver-generated scale
-factors (100× span). A growth factor near 10 per 10× data is linear;
-<10 means fixed costs still dominate at these sizes; >>10 flags a
-super-linear blow-up worth a plan audit.
+size; this tool MEASURES it. A growth factor near 10 per 10x data is
+linear; <10 means fixed costs still dominate at that size; >>10 flags
+a super-linear blow-up worth a plan audit.
+
+sf0.001-0.1 are the driver-generated read-only sets; sf1 is the
+locally synthesized decade (``python tools/gen_sf1.py`` ->
+``.localdata/sf1/``, structure-preserving replication — see that
+tool's docstring for why naive replication would fake quadratic
+growth in the dedup family). The sf0.1 -> sf1 decade is the one that
+matters: r5's probe stopped at sf0.1 where growth factors of 1.3-1.6x
+per decade proved only that fixed costs dominate.
 
 Usage:  python tools/scaling_probe.py [query ...]
-Prints one JSON line per query: times per sf + the sf0.01→sf0.1
-growth factor (the cleaner decade — sf0.001 is mostly fixed cost).
+Env:    SPARK_GRAFT_PROBE_SFS  comma list (default "0.01,0.1,1")
+        SPARK_GRAFT_PROBE_RUNS best-of runs per point (default 3)
+Prints one JSON line per query: sec per sf + per-decade growth.
 """
 
 from __future__ import annotations
@@ -19,25 +27,51 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
+# The 9 heaviest catalog queries by BENCH_r05 cost plus wordcount (the
+# reference-parity scan->agg->sort baseline). Between them these cover
+# every expensive family: LSH banding, exact-verify cascade, iterative
+# graph/BPE loops, posting-list self-joins, ANN, interval overlap.
 DEFAULT_PROBES = [
-    "wordcount",                 # scan → agg → sort
-    "q1_pricing_summary",        # scan-heavy aggregate
-    "q9_profit_by_nation_year",  # multi-join
-    "dedup_exact",               # fingerprint groupBy
-    "dedup_ngram_jaccard",       # capped posting-list self-join
-    "dedup_minhash_lsh_pairs",   # banding + candidate join
-    "embedding_cosine_topk",     # ANN brute-force tier
-    "sessionize_events",         # windowed islands
-    "near_dedup_keepset",        # full cascade
+    "wordcount",
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_pairs",
+    "dedup_jaccard_prefix_filter",
+    "near_dedup_keepset",
+    "near_dedup_keepset_lsh",
+    "dedup_incremental_minhash",
+    "embedding_cosine_topk",
+    "sessionize_events",
+    "pagerank_event_transitions",
+    "triangles_session_overlap_users",
+    "label_noise_knn_disagreement",
+    "bpe_learn_merges",
 ]
 
-SFS = ["0.001", "0.01", "0.1"]
+
+def sf_dir(sf: str) -> str:
+    path = f"/root/testdata/sf{sf}"
+    if os.path.isdir(path):
+        return path
+    local = os.path.join(REPO, ".localdata", f"sf{sf}")
+    if os.path.isdir(local):
+        return local
+    raise SystemExit(
+        f"no data for sf{sf}: generate it first (python tools/gen_sf1.py)"
+    )
 
 
 def main() -> int:
     probes = sys.argv[1:] or DEFAULT_PROBES
+    sfs = (os.environ.get("SPARK_GRAFT_PROBE_SFS") or "0.01,0.1,1").split(",")
+    runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS") or "3")
+    dirs = {sf: sf_dir(sf) for sf in sfs}
+
     from mapreducewordoccurences_spark.queries import QUERIES
     from mapreducewordoccurences_spark.session import get_spark
 
@@ -52,22 +86,23 @@ def main() -> int:
     )
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    results = []
     for name in probes:
         fn = QUERIES[name]
         times: dict[str, float] = {}
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        for sf in sfs:
             best = float("inf")
-            for _ in range(3):
+            for _ in range(runs):
                 t = time.monotonic()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                fn(spark, dirs[sf]).write.mode("overwrite").format(
+                    "noop"
+                ).save()
                 best = min(best, time.monotonic() - t)
                 spark.catalog.clearCache()
             times[sf] = round(best, 3)
-        growth = round(times["0.1"] / times["0.01"], 2) if times["0.01"] else None
-        rec = {"query": name, "sec": times, "growth_001_to_01x10": growth}
-        results.append(rec)
+        rec: dict = {"query": name, "sec": times}
+        for lo, hi in zip(sfs, sfs[1:]):
+            if times.get(lo):
+                rec[f"growth_{lo}_to_{hi}"] = round(times[hi] / times[lo], 2)
         print(json.dumps(rec), flush=True)
     spark.stop()
     return 0
