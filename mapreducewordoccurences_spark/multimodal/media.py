@@ -372,3 +372,132 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(sample, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio: a REAL codec path with zero optional deps — RIFF/WAVE PCM via
+# the stdlib ``wave`` module. Unlike images (Pillow optional), audio
+# decode is always-real in any Python: make_fake_audio writes genuine
+# WAV containers and decode_audio_meta parses them back through the
+# codec, end to end, in the same Arrow-batched mapInPandas shape.
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),  # frames/channel
+        T.StructField("rms", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def _audio_params(media_id: int) -> tuple[int, int, int, int]:
+    """(sample_rate, n_channels, n_samples, amplitude) as closed-form
+    functions of the id, so catalog oracles can predict every decoded
+    field arithmetically. The waveform is a square wave at amplitude
+    A, whose RMS and peak are EXACTLY A — float-free oracle math."""
+    i = int(media_id)
+    return (
+        8000 * (1 + i % 3),
+        1 + i % 2,
+        64 + (i * 13) % 400,
+        500 + (i % 100) * 7,
+    )
+
+
+def fake_audio_bytes(media_id: int) -> bytes:
+    """A genuine RIFF/WAVE PCM16 payload (stdlib ``wave`` encoder):
+    square wave with period 16 frames at the id-derived amplitude."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    rate, channels, n_samples, amp = _audio_params(media_id)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for s in range(n_samples):
+            val = amp if (s // 8) % 2 == 0 else -amp
+            frames += struct.pack("<h", val) * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def make_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MEDIA_SCHEMA audio corpus: real WAV payloads as a
+    pure function of the id (see _audio_params)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [fake_audio_bytes(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "audio/wav", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_audio_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """payload → (media_id, sample_rate, n_channels, n_samples, rms,
+    peak) through the REAL stdlib WAV codec. rms/peak are integer
+    (exact for PCM16: sum of squares stays well inside int64/float64
+    exact range per clip; rms rounds half-up the same on every
+    platform because the generator's square waves make it integral).
+    Corrupt or non-WAV bytes take the NULL path, like images."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
+        def one(payload):
+            if payload is None:
+                return (None, None, None, None, None)
+            try:
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    ch = w.getnchannels()
+                    nf = w.getnframes()
+                    if w.getsampwidth() != 2:
+                        return (rate, ch, nf, None, None)
+                    x = np.frombuffer(w.readframes(nf), dtype="<i2").astype(
+                        np.int64
+                    )
+                if x.size == 0:
+                    return (rate, ch, nf, 0, 0)
+                rms = int(round(float(np.sqrt(np.mean((x * x).astype(np.float64))))))
+                return (rate, ch, nf, rms, int(np.max(np.abs(x))))
+            except Exception:  # noqa: BLE001 — corrupt bytes → NULL path
+                return (None, None, None, None, None)
+
+        for pdf in batches:
+            metas = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.array([m[0] for m in metas], dtype="Int32"),
+                    "n_channels": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "n_samples": pd.array([m[2] for m in metas], dtype="Int64"),
+                    "rms": pd.array([m[3] for m in metas], dtype="Int64"),
+                    "peak": pd.array([m[4] for m in metas], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, AUDIO_META_SCHEMA)

@@ -10057,3 +10057,61 @@ def q_kcore_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_membership(
         pairs, k=2, iterations=5, a_col="doc_a", b_col="doc_b"
     ).select(F.col("node").alias("doc_id"), "core_degree")
+
+
+@register(
+    "media_audio_stats",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8000 * (1 + doc_id % 3) AS sample_rate,
+             1 + doc_id % 2 AS n_channels,
+             64 + (doc_id * 13) % 400 AS n_samples,
+             500 + (doc_id % 100) * 7 AS amp
+      FROM documents
+    )
+    SELECT CAST(sample_rate AS INT) AS sample_rate,
+           CAST(n_channels AS INT) AS n_channels,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(n_samples) AS BIGINT) AS total_samples,
+           CAST(sum(n_samples) * 1000 AS DOUBLE) / sample_rate
+             AS total_duration_ms,
+           CAST(sum(amp) AS BIGINT) AS sum_rms,
+           CAST(max(amp) AS BIGINT) AS max_peak
+    FROM p GROUP BY sample_rate, n_channels
+    """,
+)
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-corpus profiling through a REAL codec end to end: WAV
+    payloads are synthesized (stdlib ``wave`` encoder — genuine RIFF
+    containers, square waves at id-derived amplitude), decoded back
+    through the same codec, and profiled relationally (clips /
+    samples / duration / RMS energy / peak per format bucket). Unlike
+    the Pillow-optional image path, this real decode runs in ANY
+    Python — no optional dependency — making it the always-on proof
+    of the multimodal plumbing contract (multimodal/media.py).
+
+    The oracle predicts every decoded field arithmetically from
+    _audio_params: a square wave's RMS and peak are exactly its
+    amplitude, so even the energy statistics are integer-exact
+    cross-engine. duration is one int-to-double divide per group.
+
+    Scale: encode/decode are Arrow-batched mapInPandas streaming
+    batches (no whole-partition buffering); the aggregate is an
+    ordinary groupBy on a 6-cell format key."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        decode_audio_meta,
+        make_fake_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = decode_audio_meta(make_fake_audio(docs))
+    return meta.groupBy("sample_rate", "n_channels").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        (
+            (F.sum("n_samples") * 1000).cast("double") / F.col("sample_rate")
+        ).alias("total_duration_ms"),
+        F.sum("rms").alias("sum_rms"),
+        F.max("peak").alias("max_peak"),
+    )

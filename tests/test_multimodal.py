@@ -198,3 +198,71 @@ def test_real_codec_features_and_resize(spark):
     else:
         assert feats[1] is None
         assert resized[1]["payload"] is None and resized[1]["width"] is None
+
+
+# ---- audio: REAL stdlib-wave codec path (no optional deps) ----------
+
+class TestAudioCodecPath:
+    def test_wav_roundtrip_exact_meta(self, spark):
+        from mapreducewordoccurences_spark.multimodal.media import (
+            _audio_params,
+            decode_audio_meta,
+            make_fake_audio,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+        got = {
+            r["media_id"]: r
+            for r in decode_audio_meta(make_fake_audio(df)).collect()
+        }
+        for i in range(20):
+            rate, ch, n, amp = _audio_params(i)
+            r = got[i]
+            assert (
+                r["sample_rate"], r["n_channels"], r["n_samples"],
+                r["rms"], r["peak"],
+            ) == (rate, ch, n, amp, amp)
+
+    def test_corrupt_and_null_payloads_take_null_path(self, spark):
+        from mapreducewordoccurences_spark.multimodal.media import (
+            decode_audio_meta,
+            fake_audio_bytes,
+        )
+
+        rows = [
+            (1, fake_audio_bytes(1)),
+            (2, b"RIFFjunk not a wav"),
+            (3, None),
+            (4, fake_audio_bytes(4)[:20]),  # truncated header
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+        assert got[1]["rms"] is not None
+        for bad in (2, 3, 4):
+            assert got[bad]["sample_rate"] is None
+            assert got[bad]["rms"] is None
+
+    def test_real_wav_from_stdlib_writer_decodes(self, spark):
+        # a WAV produced independently of fake_audio_bytes (different
+        # params: 3-channel, constant DC value) decodes through the
+        # same path — proving the codec is real, not format-matched
+        import io
+        import struct as st
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(3)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(st.pack("<h", -123) * 3 * 50)
+        from mapreducewordoccurences_spark.multimodal.media import (
+            decode_audio_meta,
+        )
+
+        df = spark.createDataFrame(
+            [(9, buf.getvalue())], "media_id long, payload binary"
+        )
+        r = decode_audio_meta(df).collect()[0]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (44100, 3, 50)
+        assert (r["rms"], r["peak"]) == (123, 123)
