@@ -10115,3 +10115,33 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rms").alias("sum_rms"),
         F.max("peak").alias("max_peak"),
     )
+
+
+@register(
+    "embedding_pq_topk",
+    # same acceptance contract as the LSH/IVF tiers, for the PQ tier
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN acceptance — the MEMORY-bound tier
+    completing the ANN family (exact / LSH / IVF / scalar-quantized /
+    PQ): per-subspace codebooks compress vectors to m·log2(ks) bits
+    (8 bytes here vs 256 for float32×64), the ADC scan touches only
+    codes, and the exact tier re-ranks a 100-candidate shortlist
+    (functions/similarity.py pq_knn_rerank). Acceptance: per-probe
+    recall@5 vs brute force >= 0.4 (observed 1.0 at every tested sf
+    with m=16 — random unit vectors are PQ's hardest case, which is
+    exactly why the deployed shortlist+rerank shape is the registered
+    operator rather than raw ADC top-k)."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        pq_knn_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = pq_knn_rerank(emb, queries, k=5, shortlist=100, m=16, ks=16)
+    exact = brute_force_knn(emb, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
