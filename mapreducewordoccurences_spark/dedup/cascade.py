@@ -10,11 +10,20 @@ operator:
       → min-id survivorship
       → per-source keep/drop audit
 
-Two near-dup tiers, IDENTICAL downstream plumbing and output schema:
+Three near-dup tiers, IDENTICAL downstream plumbing and output schema:
 
 - ``near_tier="jaccard"``: exact shingle-Jaccard via the capped
   posting-list self-join (dedup/ngram.py). The verifier-grade tier —
   right when the survivor set fits an all-candidate scoring pass.
+- ``near_tier="jaccard_prefix"``: exact shingle-Jaccard via the
+  prefix-filtering SSJoin (dedup/prefix.py). Bit-identical pair set
+  to the uncapped posting-list join (recall 1.0 by the prefix
+  theorem), but candidate volume is bounded by the rarest ~20% of
+  each doc's shingles instead of Σ df² over the whole vocabulary —
+  the exact tier that survives a df-skewed corpus (the sf1 scaling
+  probe showed the uncapped posting-list tier growing 15.7× per
+  10× data; this tier removes that quadratic-in-df term while
+  keeping the same oracle).
 - ``near_tier="minhash_lsh"``: MinHash-LSH banding generates the
   candidates (dedup/minhash.py — ids-only band shuffle), then exact
   shingle-Jaccard is computed ON THE CANDIDATE PAIRS ONLY and
@@ -43,6 +52,9 @@ from mapreducewordoccurences_spark.dedup.clusters import connected_components
 from mapreducewordoccurences_spark.dedup.exact import doc_fingerprint
 from mapreducewordoccurences_spark.dedup.minhash import minhash_lsh_pairs
 from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
+from mapreducewordoccurences_spark.dedup.prefix import (
+    prefix_filter_jaccard_pairs,
+)
 from mapreducewordoccurences_spark.dedup.verify import exact_verify_pairs
 
 
@@ -95,7 +107,7 @@ def dedup_cascade(
     n_docs, n_dropped_exact, n_dropped_near, n_kept). Swap
     ``near_tier`` between "jaccard" and "minhash_lsh"; schema and
     keep-set semantics are identical (see module docstring)."""
-    if near_tier not in ("jaccard", "minhash_lsh"):
+    if near_tier not in ("jaccard", "jaccard_prefix", "minhash_lsh"):
         raise ValueError(f"unknown near_tier: {near_tier!r}")
 
     fp = docs.select(
@@ -122,6 +134,14 @@ def dedup_cascade(
             n=n,
             threshold=threshold,
             max_shingle_df=max_shingle_df,
+        )
+    elif near_tier == "jaccard_prefix":
+        pairs = prefix_filter_jaccard_pairs(
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
         )
     else:
         pairs = _verified_lsh_pairs(

@@ -5610,22 +5610,27 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dedup_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END dedup cascade, the decision a training pipeline
     actually ships: exact-fingerprint dedup first (cheap, catches
-    byte-dups), then n-gram Jaccard near-dup ON THE EXACT SURVIVORS
-    ONLY (the expensive tier never sees content the cheap tier
-    already killed), connected components to resolve transitive
+    byte-dups), then EXACT shingle-Jaccard near-dup ON THE EXACT
+    SURVIVORS ONLY (the expensive tier never sees content the cheap
+    tier already killed), connected components to resolve transitive
     near-dup chains, min-id survivorship, and a per-source keep/drop
-    audit. Composes dedup/cascade.py (exact + ngram + clusters). At
-    corpus scale the Jaccard tier swaps for MinHash-LSH banding with
-    identical downstream plumbing — see near_dedup_keepset_lsh, the
-    same operator with near_tier='minhash_lsh'."""
+    audit. Composes dedup/cascade.py (exact + prefix + clusters).
+    The exact tier is the prefix-filtering SSJoin (dedup/prefix.py)
+    — bit-identical pair set to the uncapped posting-list join
+    (recall 1.0 by the prefix theorem) without its quadratic-in-df
+    candidate volume: the sf0.1→sf1 scaling probe measured the
+    posting-list formulation at 15.7× growth per 10× data versus
+    ~4× for prefix filtering. At corpus scale the tier swaps for
+    MinHash-LSH banding with identical downstream plumbing — see
+    near_dedup_keepset_lsh, the same operator with
+    near_tier='minhash_lsh'."""
     from mapreducewordoccurences_spark.dedup.cascade import dedup_cascade
 
     return dedup_cascade(
         _t(spark, sf_dir, "documents"),
-        near_tier="jaccard",
+        near_tier="jaccard_prefix",
         n=3,
         threshold=0.8,
-        max_shingle_df=None,
     )
 
 
