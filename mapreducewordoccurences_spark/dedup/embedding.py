@@ -63,3 +63,65 @@ def embedding_near_dup_pairs(
     return cand.select(
         "id_a", "id_b", cosine_similarity("__va", "__vb").alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup_profile(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cells
+    bound the semantic near-dup candidates, so cosine is never scored
+    across the full n² pair space — only within a cell. The greedy
+    SemDeDup drop rule: a vector is dropped iff some SMALLER-id vector
+    in the SAME cell has cosine ≥ threshold with it (one deterministic
+    representative survives per near-dup neighborhood, no iterative
+    closure needed).
+
+    Returns (cluster_id, n_members, n_dropped, n_kept).
+
+    100 TB shape: the trainer (functions/clustering.py) broadcasts the
+    k·dim centroid table and never shuffles the vectors; the pair join
+    shuffles each vector once on cluster_id, and candidate volume is
+    Σ_c |c|² — bounded by choosing k ∝ n/target_cell_size (k=8 here
+    only because the testdata is small; production SemDeDup uses
+    ~25k-100k cells). Within-cell scoring is embarrassingly parallel
+    and stays JVM-side (zip_with/aggregate dot products)."""
+    from mapreducewordoccurences_spark.functions.clustering import (
+        kmeans_fit_predict,
+    )
+
+    assign = kmeans_fit_predict(df, id_col, vec_col, k=k, iters=iters).select(
+        id_col, "cluster_id"
+    )
+    members = df.select(id_col, vec_col).join(assign, id_col)
+    a = members.select(
+        "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = members.select(
+        "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_similarity("__va", "__vb") >= threshold)
+        .select("cluster_id", F.col("id_b").alias("__dropped_id"))
+        .distinct()
+    )
+    mem_counts = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    drop_counts = dropped.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    return mem_counts.join(drop_counts, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        (F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+    )

@@ -3915,14 +3915,14 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", gap.alias("secs_to_purchase"))
 
 
-@register(
-    "kmeans_cluster_profile",
-    # exact DuckDB replay of the integer-quantized Lloyd protocol
-    # (functions/clustering.py): trunc(v*2^20)+2^21 coords, integer
-    # squared distances, (dist, cluster_id) argmin, truncating-div
-    # centroid means — every number is an exact integer, so even this
-    # iterative trainer hash-matches
-    """
+# exact DuckDB replay of the integer-quantized Lloyd protocol
+# (functions/clustering.py): trunc(v*2^20)+2^21 coords, integer
+# squared distances, (dist, cluster_id) argmin, truncating-div
+# centroid means — every number is an exact integer, so even this
+# iterative trainer hash-matches. Ends at CTE ``a2`` =
+# (vec_id, cluster_id, d): the final assignment. Shared by
+# kmeans_cluster_profile and semantic_dedup_clusters.
+_KMEANS_A2_CTE = """
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -3960,6 +3960,13 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
         FROM d2) WHERE rn = 1
     )
+"""
+
+
+@register(
+    "kmeans_cluster_profile",
+    _KMEANS_A2_CTE
+    + """
     SELECT cluster_id, count(*) AS n_members, sum(d) AS sum_sq_dist
     FROM a2 GROUP BY cluster_id
     """,
@@ -10150,3 +10157,176 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_knn_rerank(emb, queries, k=5, shortlist=100, m=16, ks=16)
     exact = brute_force_knn(emb, queries, k=5)
     return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
+
+
+@register(
+    "semantic_dedup_clusters",
+    # replay the exact-integer k-means (shared CTE, ends at a2 =
+    # final assignment), then score cosine ONLY within a cell and
+    # apply the greedy smaller-id drop rule. The threshold compares
+    # the UNROUNDED cosine on both engines (same convention as
+    # dedup_embedding_cosine; testdata embeddings are isotropic, so
+    # 0.4 stands in for the >=0.9 production threshold); the output
+    # is integer counts only.
+    _KMEANS_A2_CTE
+    + """
+    , pr AS (
+      SELECT x.cluster_id, y.vec_id AS ib
+      FROM a2 x JOIN a2 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      JOIN embeddings ea ON ea.vec_id = x.vec_id
+      JOIN embeddings eb ON eb.vec_id = y.vec_id
+      WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) >= 0.4
+    ), drp AS (SELECT DISTINCT cluster_id, ib FROM pr)
+    SELECT m.cluster_id,
+           count(*) AS n_members,
+           CAST(count(d.ib) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.ib) AS BIGINT) AS n_kept
+    FROM a2 m LEFT JOIN drp d ON d.cluster_id = m.cluster_id AND d.ib = m.vec_id
+    GROUP BY m.cluster_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with k-means cells
+    bounding the cosine candidates — the embedding-space analogue of
+    LSH banding, and THE published scale path for embedding dedup
+    (cosine is scored within a cell only, never across the full n²
+    space; k grows with n so cells stay bounded). Drop rule: a vector
+    with a smaller-id cell-mate at cosine >= 0.4 is dropped — greedy
+    one-representative survivorship, no iterative closure. Composes
+    the exact-integer k-means trainer (functions/clustering.py, every
+    assignment bit-identical across engines) with the same cosine
+    verifier contract as dedup_embedding_cosine."""
+    from mapreducewordoccurences_spark.dedup.embedding import (
+        semantic_dedup_profile,
+    )
+
+    return semantic_dedup_profile(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.4
+    )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    # BM25 CTE identical to bm25_topk_docs; vector ranks by raw
+    # cosine (rank gaps >> ulp on random embeddings, same convention
+    # as embedding_cosine_topk); RRF = 1/(60+rank) sums of exact
+    # small-int ranks — both engines compute the identical two
+    # correctly-rounded double divisions, ties broken by doc_id.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), stats AS (
+      SELECT avg(len(t)) AS avgdl, count(*) AS n_docs FROM toks
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl, w AS word, count(*) AS tf
+      FROM (SELECT doc_id, t, unnest(t) AS w FROM toks)
+      WHERE w IN ('spark', 'window', 'join', 'stream')
+      GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), scores AS (
+      SELECT doc_id,
+             SUM( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) ) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN stats s
+      GROUP BY doc_id
+    ), lexr AS (
+      SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rn
+        FROM scores)
+      WHERE rn <= 50
+    ), vecr AS (
+      SELECT doc_id, CAST(rn AS INT) AS vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) DESC,
+                 e.vec_id) AS rn
+        FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+        WHERE e.vec_id <> 0)
+      WHERE rn <= 50
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0) AS rrf
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, CAST(rn AS INT) AS fused_rank FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+    WHERE rn <= 10
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    RAG-index serving pattern: BM25 lexical top-50 (only query-term
+    hits shuffled) and cosine vector top-50 against probe vec_id 0
+    (query broadcast, corpus never self-joined) are fused by
+    RRF(d) = Σ 1/(60 + rank_d) and re-ranked. Both top-50 cuts use
+    orderBy+limit (TakeOrderedAndProject — distributed partial top-k,
+    NO single-partition global sort over the corpus); rank numbers
+    are then assigned by a window over the bounded 50-row result,
+    and the fused window sees ≤ 100 rows. Output is ranks only —
+    no float column crosses the engine boundary."""
+    from mapreducewordoccurences_spark.functions.ranking import bm25_scores
+    from mapreducewordoccurences_spark.functions.similarity import (
+        cosine_similarity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    lex50 = (
+        bm25_scores(docs, ["spark", "window", "join", "stream"])
+        .select("doc_id", F.round("score", 4).alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    lexr = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("__s").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    vec50 = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity("embedding", "__q").alias("__cs"),
+        )
+        .orderBy(F.col("__cs").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    vecr = vec50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("__cs").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("vec_rank"),
+    )
+
+    fused = lexr.join(vecr, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(rrf.desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .where(F.col("fused_rank") <= 10)
+        .select("doc_id", "lex_rank", "vec_rank", "fused_rank")
+    )

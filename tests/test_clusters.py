@@ -202,3 +202,36 @@ def test_minhash_index_parquet_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert mem == disk and len(mem) > 0
+
+
+def test_semantic_dedup_planted_near_dups(spark):
+    """SemDeDup on a planted corpus: two tight groups of vectors far
+    apart in direction. k-means (k=2) must put each group in its own
+    cell; within a cell every vector but the smallest id has a
+    smaller-id near-dup at cosine ~1, so exactly one survivor per
+    group remains."""
+    from mapreducewordoccurences_spark.dedup.embedding import (
+        semantic_dedup_profile,
+    )
+
+    dim = 8
+    base_a = [1.0] + [0.05] * (dim - 1)
+    base_b = [-1.0] + [0.05] * (dim - 1)
+
+    def jitter(base, i):
+        return [v + 0.001 * i * ((j % 2) * 2 - 1) for j, v in enumerate(base)]
+
+    rows = [(i, jitter(base_a, i)) for i in range(3)] + [
+        (10 + i, jitter(base_b, i)) for i in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_profile(emb, k=2, iters=2, threshold=0.9)
+    got = {
+        (r["n_members"], r["n_dropped"], r["n_kept"]) for r in out.collect()
+    }
+    assert got == {(3, 2, 1), (4, 3, 1)}
+    # totals: every vector accounted for, one survivor per group
+    tot = out.agg(
+        F.sum("n_members").alias("m"), F.sum("n_kept").alias("k")
+    ).first()
+    assert (tot["m"], tot["k"]) == (7, 2)

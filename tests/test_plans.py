@@ -267,6 +267,7 @@ PYTHON_ALLOWED = {
     "udtf_sentence_stats",
     "media_image_dims",
     "media_frame_sample",
+    "media_audio_stats",
     # bounded per-partition Space-Saving summary (constant memory,
     # vectorized pandas value_counts) — the candidate phase of the
     # exact heavy-hitter pattern is Python by design
@@ -387,3 +388,23 @@ def test_zipf_windows_only_the_class_axis(spark):
     assert len(re.findall(r"^\(\d+\) Window\s*$", plan, re.MULTILINE)) == 1
     assert "row_number" not in plan
     assert "Generate" in plan  # the sequence-explode rank blocks
+
+
+def test_hybrid_rrf_topk_and_semantic_dedup_plan_shapes(spark):
+    """Both top-50 cuts in the hybrid retriever must compile to
+    TakeOrderedAndProject (distributed partial top-k), never a global
+    sort of the corpus; the probe side is a 1-row broadcast. The
+    SemDeDup profile must keep cosine scoring JVM-side and join pairs
+    only within a k-means cell (equi-join on cluster_id — no
+    cartesian)."""
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    hp = formatted_plan(q(spark, "hybrid_rrf_retrieval"))
+    assert hp.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in hp
+    assert not has_python_eval(q(spark, "hybrid_rrf_retrieval"))
+
+    sd = q(spark, "semantic_dedup_clusters")
+    sp = formatted_plan(sd)
+    assert "CartesianProduct" not in sp
+    assert not has_python_eval(sd)
