@@ -10330,3 +10330,67 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fused_rank") <= 10)
         .select("doc_id", "lex_rank", "vec_rank", "fused_rank")
     )
+
+
+@register(
+    "streaming_static_enrich_nation_totals",
+    """
+    SELECT n.n_name, count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join — the remaining canonical
+    streaming join shape next to the stream-stream interval join
+    (streaming_interval_join_views_purchases): events stream in as one
+    availableNow micro-batch and are enriched against a STATIC
+    dimension (customer ⋈ nation, built as a plain batch DataFrame)
+    broadcast into every micro-batch — no state store, no watermark,
+    the dimension is re-resolvable per batch by contract. Stateful
+    complete-mode groupBy then totals per nation; the oracle
+    recomputes relationally, and the decimal-exact value sum makes
+    the hash-match order-independent. At scale this is the dimension
+    pattern for streams: the per-batch broadcast costs |dim|, the
+    stream side never shuffles for the join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    sink = f"enrich_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        enriched = stream.join(F.broadcast(dim), "user_id")
+        agg = enriched.groupBy("n_name").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value", 4, "total_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(sink)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
