@@ -94,20 +94,35 @@ def semantic_dedup_profile(
         kmeans_fit_predict,
     )
 
+    from mapreducewordoccurences_spark.functions.similarity import dot, l2_norm
+
     assign = kmeans_fit_predict(df, id_col, vec_col, k=k, iters=iters).select(
         id_col, "cluster_id"
     )
-    members = df.select(id_col, vec_col).join(assign, id_col)
+    # norms computed ONCE per member (n folds), not per pair (2·pairs
+    # folds); the per-pair expression dot/(norm_a·norm_b) is the exact
+    # same arithmetic as cosine_similarity, just with the sqrt hoisted
+    members = df.select(
+        id_col, vec_col, l2_norm(vec_col).alias("__norm")
+    ).join(assign, id_col)
     a = members.select(
-        "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        "cluster_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
     )
     b = members.select(
-        "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        "cluster_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
     )
     dropped = (
         a.join(b, "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine_similarity("__va", "__vb") >= threshold)
+        .where(
+            dot("__va", "__vb") / (F.col("__na") * F.col("__nb")) >= threshold
+        )
         .select("cluster_id", F.col("id_b").alias("__dropped_id"))
         .distinct()
     )
