@@ -132,6 +132,124 @@ def prefix_filter_jaccard_pairs(
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All doc pairs (a < b) with set containment
+    C(A,B) = |A∩B| / min(|A|,|B|) ≥ threshold — bit-identical output
+    to ``ngram_containment_pairs`` with no df cap, via ASYMMETRIC
+    prefix filtering. Returns
+    (doc_a, doc_b, containment, n_shingles_a, n_shingles_b).
+
+    Why asymmetric: for containment the required overlap
+    α = ⌈t·min(|A|,|B|)⌉ scales with the SMALLER set only, so the
+    larger set has no useful own-size prefix bound. Instead the
+    SMALLER side probes its rarity-ordered prefix of length
+    |A| − ⌈t·|A|⌉ + 1 against a FULL token index of the other side:
+    if |A∩B| ≥ ⌈t·|A|⌉ then A has at most |A| − ⌈t·|A|⌉ elements
+    outside B, so at least one of its |A| − ⌈t·|A|⌉ + 1 prefix
+    elements lies in B — exactness holds with only one side pruned.
+
+    Cost: candidate volume is Σ_token df(token) × prefix_df(token),
+    not Σ df². Hot tokens (huge df) almost never appear in a
+    rarity-ordered prefix (prefix_df ≈ 0); rare tokens have small df
+    — so the product stays bounded where the full posting-list join
+    explodes. Pairs of equal size are found from either side and
+    deduped.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingles_df(df, id_col, text_col, n)
+    gdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        sh.join(gdf, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__ord")
+        )
+        .select(id_col, "__ord", F.size("__ord").alias("__sz"))
+    )
+    p = (
+        F.col("__sz")
+        - F.ceil(F.col("__sz") * F.lit(float(threshold))).cast("int")
+        + F.lit(1)
+    )
+    docs = ordered.select(
+        id_col,
+        "__sz",
+        F.transform("__ord", lambda s: F.xxhash64(s["shingle"])).alias(
+            "__set"
+        ),
+        F.transform(
+            F.slice("__ord", 1, p), lambda s: s["shingle"]
+        ).alias("__prefix"),
+    ).persist()
+    # probe side: smaller doc's prefix tokens (folded); index side:
+    # ALL tokens (folded full set) — exactness needs the full index
+    probe = docs.select(
+        F.col(id_col).alias("__pid"),
+        F.col("__sz").alias("__psz"),
+        F.explode(
+            F.transform("__prefix", lambda s: F.xxhash64(s))
+        ).alias("__tok"),
+    )
+    index = docs.select(
+        F.col(id_col).alias("__iid"),
+        F.col("__sz").alias("__isz"),
+        F.explode("__set").alias("__tok"),
+    )
+    cand = (
+        probe.join(index, "__tok")
+        .where(
+            (F.col("__psz") < F.col("__isz"))
+            | (
+                (F.col("__psz") == F.col("__isz"))
+                & (F.col("__pid") < F.col("__iid"))
+            )
+        )
+        .select(
+            F.least("__pid", "__iid").alias("doc_a"),
+            F.greatest("__pid", "__iid").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    scored = (
+        cand.join(
+            docs.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("__set").alias("__ra"),
+                F.col("__sz").alias("__sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("__set").alias("__rb"),
+                F.col("__sz").alias("__sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("__ra", "__rb"))
+                / F.least("__sa", "__sb")
+            ).alias("containment"),
+            F.col("__sa").alias("n_shingles_a"),
+            F.col("__sb").alias("n_shingles_b"),
+        )
+    )
+    return scored.where(F.col("containment") >= threshold)
+
+
 def prefix_stats(
     df: DataFrame,
     id_col: str = "doc_id",

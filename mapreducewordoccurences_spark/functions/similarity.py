@@ -531,10 +531,13 @@ def pq_codebooks(
     rows. Seeds are the ks lowest-id vectors' subvectors (the id pick
     is a TakeOrderedAndProject — bounded, no corpus-wide window);
     each Lloyd round is one broadcast-codebook assignment plus one
-    (sub, code, dim)-keyed average. All m subspaces train in the SAME
-    passes — the corpus streams once per round, not once per
-    subspace. At 100 TB, train on a hash-sampled slice (codebooks
-    need ~100k points, not the corpus) and broadcast the result."""
+    (sub, code, dim)-keyed fixed-point average (exact BIGINT sums,
+    functions/clustering.py convention — codebooks, codes, and
+    shortlists are bit-identical across runs and cluster layouts).
+    All m subspaces train in the SAME passes — the corpus streams
+    once per round, not once per subspace. At 100 TB, train on a
+    hash-sampled slice (codebooks need ~100k points, not the corpus)
+    and broadcast the result."""
     subs = _subvectors(corpus, m, id_col, vec_col, "__vid")
     seed_ids = (
         corpus.orderBy(id_col)
@@ -566,7 +569,27 @@ def pq_codebooks(
                 "__sub", "__code", F.posexplode("__subvec").alias("__pos", "__v")
             )
             .groupBy("__sub", "__code", "__pos")
-            .agg(F.avg(F.col("__v").cast("double")).alias("__mv"))
+            # fixed-point centroid update (same convention as
+            # functions/clustering.py): exact BIGINT sums + truncating
+            # integer division, so the codebooks are bit-identical
+            # regardless of partition count / summation order — F.avg
+            # over raw doubles would drift with cluster layout
+            .agg(
+                F.sum(
+                    (F.col("__v").cast("double") * F.lit(1048576)).cast(
+                        "long"
+                    )
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "__sub",
+                "__code",
+                "__pos",
+                (
+                    F.expr("__s div __n").cast("double") / F.lit(1048576.0)
+                ).alias("__mv"),
+            )
             .groupBy("__sub", "__code")
             .agg(
                 F.transform(
@@ -617,9 +640,10 @@ def pq_knn(
     rank-consistent with cosine.
 
     Scale: the per-(query, vec) sum shuffles O(corpus × queries) id
-    pairs — the flat-PQ shape; production composes this with IVF
-    cells (ivf_knn) so only nprobe/nlist of the corpus is scored per
-    query, same as this module's other tiers. Returns
+    pairs — the flat-PQ shape, fine for bounded probe sets; for a
+    real query load use ``ivfpq_knn`` (or the persisted
+    ``build_ivfpq_index`` + ``ivfpq_probe``), which ADC-scans only
+    the nprobe/nlist probed IVF cells per query. Returns
     (query_id, neighbor_id, rnk, dist); ties break by neighbor id."""
     from mapreducewordoccurences_spark.operators.windows import top_k_per_group
 
@@ -680,6 +704,228 @@ def pq_knn_rerank(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
     cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    joined = cand.join(F.broadcast(qv), query_id_col).join(cv, "neighbor_id")
+    return _rerank_candidates(joined, k, query_id_col)
+
+
+def _pq_distance_table(
+    queries: DataFrame,
+    books: DataFrame,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """(query_id, __sub, __code, __d): each query's squared-L2 to
+    every codeword — m·ks rows per query, the broadcast side of every
+    ADC scan."""
+    return (
+        _subvectors(queries, m, id_col, vec_col, query_id_col)
+        .join(F.broadcast(books), "__sub")
+        .select(
+            query_id_col,
+            "__sub",
+            "__code",
+            _sq_dist("__subvec", "__cvec").alias("__d"),
+        )
+    )
+
+
+def _adc_shortlist_rerank(
+    coded: DataFrame,
+    probes: DataFrame,
+    dt: DataFrame,
+    shortlist: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF∘PQ core: ADC-score the coded rows of each query's
+    probed cells only and cut a per-query ``shortlist`` from the
+    codes — callers re-rank the returned (query_id, neighbor_id)
+    shortlist from the full vectors.
+
+    ``coded`` is (id, __sub, __code, __cell); ``probes`` is
+    (query_id, __cell) — broadcast, so the cell restriction is a
+    map-side semi-filter (or a dynamic-partition-pruning filter when
+    ``coded`` is a __cell-partitioned parquet scan). The ADC shuffle
+    is O(Σ_q |probed cells of q| × m), never O(corpus × queries)."""
+    from mapreducewordoccurences_spark.operators.windows import top_k_per_group
+
+    scored = (
+        coded.join(F.broadcast(probes), "__cell")
+        .join(
+            F.broadcast(dt),
+            [query_id_col, "__sub", "__code"],
+        )
+        .where(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").alias("__dist"))
+    )
+    cand = top_k_per_group(
+        scored.select(
+            query_id_col, F.col(id_col).alias("neighbor_id"), "__dist"
+        ),
+        [query_id_col],
+        [F.col("__dist").asc(), F.col("neighbor_id").asc()],
+        shortlist,
+    ).select(query_id_col, "neighbor_id")
+    return cand
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    m: int = 16,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    kmeans_iters: int = 2,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF∘PQ (Jégou et al. TPAMI'11 §V, IVFADC): the memory-bound PQ
+    scan composed with IVF cell pruning — the deployed
+    billion-vector layout. The coarse quantizer (k-means cells)
+    bounds WHICH codes each query scans (nprobe/nlist of the corpus);
+    PQ bounds WHAT a scan touches (m log2(ks)-bit codes, not float
+    vectors); the exact tier re-ranks a ``shortlist`` from the full
+    vectors so codebook quantization never surfaces in the top-k.
+
+    vs flat ``pq_knn``: the ADC shuffle drops from
+    O(corpus × queries) to O(corpus × queries × nprobe/nlist).
+    vs ``ivf_knn``: the probed-cell scan touches codes (4-16 B/row),
+    not embeddings (256 B/row) — the tier a trillion-row corpus needs
+    to keep its index in RAM. Deterministic end-to-end: fixed-point
+    k-means + fixed-point codebooks + (dist, id) tie-breaks.
+
+    Returns (query_id, neighbor_id, rnk, sim) — the family contract.
+    """
+    centroids = kmeans_centroids(
+        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+    ).localCheckpoint(eager=True)
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col).select(
+        id_col, "__cell"
+    )
+    books = pq_codebooks(
+        corpus, m, ks, id_col, vec_col, pq_iters
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(corpus, books, m, id_col, vec_col)
+    coded = codes.join(assigned, id_col)
+    probes = _probe_cells(
+        queries, centroids, nprobe, id_col, vec_col, query_id_col
+    )
+    dt = _pq_distance_table(queries, books, m, id_col, vec_col, query_id_col)
+    cand = _adc_shortlist_rerank(
+        coded,
+        probes.select(query_id_col, "__cell"),
+        dt,
+        shortlist,
+        id_col,
+        query_id_col,
+    )
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    joined = cand.join(F.broadcast(qv), query_id_col).join(cv, "neighbor_id")
+    return _rerank_candidates(joined, k, query_id_col)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 16,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    pq_iters: int = 2,
+    mode: str = "overwrite",
+) -> None:
+    """One-time IVF∘PQ index build, persisted for partition-pruned
+    ADC probes:
+
+    - ``{path}/centroids``: nlist coarse cells (__cell, __centroid)
+    - ``{path}/books``: m·ks PQ codewords (__sub, __code, __cvec)
+    - ``{path}/codes``: (id, __sub, __code) per corpus vector,
+      written ``partitionBy(__cell)`` — a probe of nprobe cells reads
+      nprobe/nlist of the CODE files (the only thing the scan
+      touches; full vectors are fetched id-keyed for the shortlist
+      re-rank only)
+    - ``{path}/vectors``: (id, vec) for the re-rank fetch
+
+    Build cost: two k-means trainings + one encode, each O(corpus)
+    with broadcast codebooks — paid once; probes never rescan the
+    un-indexed corpus."""
+    centroids = kmeans_centroids(
+        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+    ).localCheckpoint(eager=True)
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col).select(
+        id_col, "__cell"
+    )
+    books = pq_codebooks(
+        corpus, m, ks, id_col, vec_col, pq_iters
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(corpus, books, m, id_col, vec_col)
+    codes.join(assigned, id_col).write.mode(mode).partitionBy(
+        "__cell"
+    ).parquet(f"{path}/codes")
+    books.write.mode(mode).parquet(f"{path}/books")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+    corpus.select(id_col, vec_col).write.mode(mode).parquet(
+        f"{path}/vectors"
+    )
+    centroids.unpersist()
+    books.unpersist()
+
+
+def ivfpq_probe(
+    queries: DataFrame,
+    path: str,
+    k: int,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    m: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVF∘PQ index (``build_ivfpq_index``).
+
+    The code scan joins the (broadcast) probe list on ``__cell`` —
+    the partition column — so Catalyst inserts a dynamic-partition-
+    pruning filter and only nprobe/nlist of the code files are read
+    (plan-tested); the shortlist re-rank then fetches just
+    |queries|·shortlist full vectors by id."""
+    spark = queries.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/books")
+    coded = spark.read.parquet(f"{path}/codes")
+    probes = _probe_cells(
+        queries, centroids, nprobe, id_col, vec_col, query_id_col
+    )
+    dt = _pq_distance_table(queries, books, m, id_col, vec_col, query_id_col)
+    cand = _adc_shortlist_rerank(
+        coded,
+        probes.select(query_id_col, "__cell"),
+        dt,
+        shortlist,
+        id_col,
+        query_id_col,
+    )
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    cv = spark.read.parquet(f"{path}/vectors").select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     joined = cand.join(F.broadcast(qv), query_id_col).join(cv, "neighbor_id")

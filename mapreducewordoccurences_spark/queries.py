@@ -32,6 +32,10 @@ from mapreducewordoccurences_spark.core.wordcount import count_words
 from mapreducewordoccurences_spark.dedup.exact import exact_dup_groups
 from mapreducewordoccurences_spark.dedup.minhash import minhash_lsh_pairs
 from mapreducewordoccurences_spark.dedup.ngram import ngram_jaccard_pairs
+from mapreducewordoccurences_spark.dedup.prefix import (
+    prefix_filter_containment_pairs,
+    prefix_filter_jaccard_pairs,
+)
 from mapreducewordoccurences_spark.dedup.simhash import simhash_near_dup_pairs
 from mapreducewordoccurences_spark.dedup.verify import exact_verify_pairs
 from mapreducewordoccurences_spark.functions.similarity import brute_force_knn, lsh_knn
@@ -5252,18 +5256,17 @@ def q_temperature_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric set containment C(A,B) = |A∩B| / min(|A|,|B|)
-    (dedup/ngram.py ngram_containment_pairs): catches a short doc
-    embedded verbatim in a long one — high containment, LOW Jaccard
-    (the union is dominated by the long side), so symmetric near-dup
-    structurally misses it (Broder 1997's resemblance/containment
-    split). Shares the inverted-index candidate machinery with
-    dedup_ngram_jaccard: same posting-list cap, same single
-    8-byte-key shuffle."""
-    from mapreducewordoccurences_spark.dedup.ngram import ngram_containment_pairs
-
-    return ngram_containment_pairs(
-        _t(spark, sf_dir, "documents"),
-        n=3, threshold=0.9, max_shingle_df=None,
+    (dedup/prefix.py prefix_filter_containment_pairs): catches a
+    short doc embedded verbatim in a long one — high containment,
+    LOW Jaccard (the union is dominated by the long side), so
+    symmetric near-dup structurally misses it (Broder 1997's
+    resemblance/containment split). Computed via the ASYMMETRIC
+    prefix-filter SSJoin: the smaller doc probes its rarity-ordered
+    prefix against a full token index, so candidate volume is
+    Σ df·prefix_df instead of the uncapped posting-list join's Σ df²
+    — exact by the containment prefix lemma, no cap to mis-tune."""
+    return prefix_filter_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.9
     )
 
 
@@ -7337,8 +7340,8 @@ def q_minhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.dedup.minhash import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.7, max_shingle_df=None
+    exact = prefix_filter_jaccard_pairs(
+        docs, n=3, threshold=0.7
     ).select("doc_a", "doc_b")
     lsh = minhash_lsh_pairs(
         docs, num_perm=64, bands=16, threshold=0.7
@@ -7369,8 +7372,8 @@ def q_simhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-0.8 pairs (observed 0.96-1.0; SimHash is a lossier
     sketch than MinHash, hence the lower floor)."""
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.8, max_shingle_df=None
+    exact = prefix_filter_jaccard_pairs(
+        docs, n=3, threshold=0.8
     ).select("doc_a", "doc_b")
     sim = simhash_near_dup_pairs(docs, max_distance=8).select("doc_a", "doc_b")
     hits = exact.join(sim, ["doc_a", "doc_b"]).agg(
@@ -7415,7 +7418,7 @@ def q_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
     Same single-shuffle posting-list plan as the dedup tier, scored
     once, counted at every cutoff via conditional aggregation."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs_50"),
         F.count(F.when(F.col("jaccard") >= 0.7, 1)).alias("n_pairs_70"),
@@ -8502,12 +8505,13 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates must recall ≥ 0.9 of the exact cross-batch
     Jaccard-0.7 pairs (the hash-matched count), and recall_ok must
     come back TRUE for the value-hash to match. The exact denominator
-    runs UNCAPPED (max_shingle_df=None) so it is definitionally the
-    same pair set as the uncapped oracle CTE — a df cap here could
-    silently shrink both recall numerator and denominator the day a
-    shingle's document frequency crosses it (the verifier tier is
-    oracle-scale by contract; production candidate tiers are where
-    the cap belongs)."""
+    is the prefix-filtering SSJoin (dedup/prefix.py) — bit-identical
+    to the uncapped posting-list pair set by the prefix theorem, so
+    it is definitionally the oracle CTE's pair set, WITHOUT the
+    Σ df² candidate term: the sf1 scaling probe measured the old
+    uncapped verifier at 7.95× growth per 10× data (the worst in
+    SCALING_r6.jsonl); the SSJoin indexes only rarity-ordered
+    prefixes and has no cap to mis-tune."""
     from mapreducewordoccurences_spark.dedup.minhash import (
         minhash_band_index,
         minhash_lsh_incremental_pairs,
@@ -8524,7 +8528,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("new_id", "index_id").alias("doc_b"),
     )
     exact = (
-        ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_shingle_df=None)
+        prefix_filter_jaccard_pairs(docs, n=3, threshold=0.7)
         .where((F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0))
         .select("doc_a", "doc_b")
     )
@@ -9908,7 +9912,7 @@ def q_group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("split").alias("k"))
         .agg(F.count(F.when(F.col("k") > 1, 1)).alias("n_group_violations"))
     )
-    pairs = ngram_jaccard_pairs(docs, threshold=0.7, max_shingle_df=None)
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.7)
     labeled = pairs.join(
         splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
         "doc_a",
@@ -10065,7 +10069,7 @@ def q_kcore_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.operators.graph import kcore_membership
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5)
     return kcore_membership(
         pairs, k=2, iterations=5, a_col="doc_a", b_col="doc_b"
     ).select(F.col("node").alias("doc_id"), "core_degree")
@@ -10155,6 +10159,40 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     approx = pq_knn_rerank(emb, queries, k=5, shortlist=100, m=16, ks=16)
+    exact = brute_force_knn(emb, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
+
+
+@register(
+    "embedding_ivfpq_topk",
+    # same acceptance contract as the other ANN tiers, for IVF∘PQ
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF∘PQ ANN acceptance (Jégou et al. IVFADC — the deployed
+    billion-vector layout; functions/similarity.py ivfpq_knn): the
+    coarse k-means quantizer bounds WHICH codes a query ADC-scans
+    (nprobe/nlist of the corpus), PQ bounds WHAT the scan touches
+    (m·log2(ks)-bit codes, not float vectors), and the exact tier
+    re-ranks a 100-candidate shortlist from full vectors. The
+    persisted layout (build_ivfpq_index / ivfpq_probe) writes codes
+    partitionBy(cell), so probes read nprobe/nlist of the code files
+    via dynamic partition pruning (plan-tested) and the probe output
+    is bit-identical to this inline composition. Acceptance:
+    per-probe recall@5 vs brute force >= 0.4 (observed 0.9 at
+    sf0.001 with nprobe=4 — cell pruning trades the flat-PQ scan's
+    recall 1.0 for a 4/16 corpus-scan fraction; deterministic:
+    fixed-point k-means + fixed-point codebooks)."""
+    from mapreducewordoccurences_spark.functions.similarity import ivfpq_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = ivfpq_knn(
+        emb, queries, k=5, nlist=16, nprobe=4, shortlist=100, m=16, ks=16
+    )
     exact = brute_force_knn(emb, queries, k=5)
     return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
 

@@ -69,9 +69,8 @@ def test_oracle_parity(spark, duck, name):
     assert_frames_match(name, spark_pdf, duck_pdf)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+def test_every_query_is_oracle_gated():
+    """Positive assertion of the fully-oracle-gated state reached in
+    round 6: no catalog entry may ship without a DuckDB oracle. A
+    regression here means a new query was registered rows-only."""
+    assert not ROWS_ONLY_QUERIES

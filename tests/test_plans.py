@@ -134,6 +134,33 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     assert res.count() > 0
 
 
+def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe,
+    )
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+    from mapreducewordoccurences_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    build_ivfpq_index(emb, str(tmp_path / "ivfpq"), nlist=16, m=16, ks=16)
+    res = ivfpq_probe(
+        emb.where(F.col("vec_id") < 10),
+        str(tmp_path / "ivfpq"),
+        k=5,
+        nprobe=4,
+        shortlist=50,
+        m=16,
+    )
+    # the CODE scan must carry a dynamic-partition-pruning filter on
+    # __cell: an IVF∘PQ probe reads nprobe/nlist of the code files —
+    # full vectors are touched only for the shortlist re-rank
+    assert "dynamicpruning" in formatted_plan(res)
+    assert res.count() > 0
+
+
 def test_lsh_knn_single_corpus_scan(spark):
     from mapreducewordoccurences_spark.plans.explain import count_scans
 

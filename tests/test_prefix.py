@@ -97,3 +97,97 @@ def test_random_corpora_match_python_reference(spark):
         df = spark.createDataFrame(docs, "doc_id long, text string")
         got = pairs_of(prefix_filter_jaccard_pairs(df, n=3, threshold=t))
         assert got == expect, (t, len(got), len(expect))
+
+
+def cont_pairs_of(df):
+    return {
+        (r["doc_a"], r["doc_b"]): (
+            r["containment"], r["n_shingles_a"], r["n_shingles_b"]
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("threshold", [0.7, 0.9])
+def test_containment_identical_to_uncapped_posting_join(spark, threshold):
+    from mapreducewordoccurences_spark.dedup.ngram import ngram_containment_pairs
+    from mapreducewordoccurences_spark.dedup.prefix import (
+        prefix_filter_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = cont_pairs_of(ngram_containment_pairs(docs, n=3, threshold=threshold))
+    got = cont_pairs_of(
+        prefix_filter_containment_pairs(docs, n=3, threshold=threshold)
+    )
+    assert got == want
+
+
+def test_containment_adversarial_small_corpus(spark):
+    from mapreducewordoccurences_spark.dedup.ngram import ngram_containment_pairs
+    from mapreducewordoccurences_spark.dedup.prefix import (
+        prefix_filter_containment_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p"),   # long host
+        (2, "a b c d e"),                          # fully contained in 1
+        (3, "a b c d x"),                          # partially contained
+        (4, "z z"),                                # < n tokens
+        (5, "a b c d e"),                          # dup of 2 (equal sizes)
+        (6, "q r s t u v w"),                      # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9, 1.0):
+        want = cont_pairs_of(ngram_containment_pairs(docs, n=3, threshold=t))
+        got = cont_pairs_of(
+            prefix_filter_containment_pairs(docs, n=3, threshold=t)
+        )
+        assert got == want, t
+
+
+def test_containment_random_differential(spark):
+    """Randomized differential vs pure-Python all-pairs containment —
+    equal-size pairs, tiny docs, and heavy shared vocabulary all
+    stress the asymmetric probe/index split."""
+    import itertools
+    import random
+
+    from mapreducewordoccurences_spark.dedup.prefix import (
+        prefix_filter_containment_pairs,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for i in range(35):
+        n = rng.randrange(2, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted containments: substring excerpts of longer docs
+    for i in range(35, 45):
+        base = docs[i - 35][1].split()
+        if len(base) > 6:
+            lo = rng.randrange(0, len(base) - 5)
+            docs.append((i, " ".join(base[lo:lo + 6])))
+        else:
+            docs.append((i, docs[i - 35][1]))
+
+    def shingles(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    for t in (0.5, 0.9):
+        expect = {}
+        sh = {i: shingles(s) for i, s in docs}
+        for (ia, sa), (ib, sb) in itertools.combinations(sorted(sh.items()), 2):
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            c = inter / min(len(sa), len(sb))
+            if c >= t:
+                expect[(ia, ib)] = (c, len(sa), len(sb))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = cont_pairs_of(prefix_filter_containment_pairs(df, n=3, threshold=t))
+        assert got == expect, (t, len(got), len(expect))
