@@ -204,6 +204,8 @@ def kcore_membership(
     """
     from mapreducewordoccurences_spark.core.checkpointing import make_truncate
 
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     truncate = make_truncate(edges, checkpoint_dir)
     e = (
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -214,6 +216,7 @@ def kcore_membership(
     )
 
     alive = None  # round 0 counts over the full graph
+    n_alive = None
     deg = None
     for _ in range(iterations):
         live = sym
@@ -226,4 +229,13 @@ def kcore_membership(
             F.count(F.lit(1)).alias("core_degree")
         )
         alive = truncate(deg.where(F.col("core_degree") >= k).select("node"))
+        # convergence check: the peel is monotone, so a stable alive
+        # count means a fixed point — stop instead of paying no-op
+        # rounds (one cheap driver-scalar aggregate per round; this is
+        # what guarantees the returned set IS the k-core rather than a
+        # superset when ``iterations`` under-estimates peel depth)
+        n_now = alive.count()
+        if n_alive is not None and n_now == n_alive:
+            break
+        n_alive = n_now
     return deg.where(F.col("core_degree") >= k)

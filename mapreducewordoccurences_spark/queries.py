@@ -600,20 +600,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     S-curve midpoint — so recall is ~1) are re-scored with exact
     distinct-shingle Jaccard (dedup/verify.py) and cut at 0.7. The
     output is therefore the exact Jaccard-0.7 pair set whenever LSH
-    recall is 1.0 (the acceptance row ``dedup_minhash_lsh`` gates
-    recall ≥ 0.9; observed 1.0 at every tested sf, and at the 0.5
-    candidate cut the per-pair miss probability for a J=0.7 pair is
-    (1-0.7⁴)¹⁶ ≈ 9e-3 → planted dups at J≈1 are never missed) — so
-    the hash-match against the exact-pair oracle doubles as an
-    end-to-end recall gate. The raw hash-seeded candidate set itself
-    is not portable SQL; this verified formulation is.
+    recall is 1.0 — a CONDITIONAL oracle by design: a borderline
+    J≈0.7 pair missed by every band would break the hash-match. With
+    128 perms / 32 bands of 4 rows, the per-pair miss probability at
+    J=0.7 is (1-0.7⁴)³² ≈ 1.5e-4 (at the former 16 bands it was
+    (1-0.7⁴)¹⁶ ≈ 1.2e-2 — worth the 2× signature cost), it vanishes
+    as J → 1 (planted dups are never missed), and the separate
+    acceptance row ``dedup_minhash_lsh`` gates recall ≥ 0.9 if the
+    corpus ever grows an unlucky borderline pair. The hash-match
+    against the exact-pair oracle doubles as an end-to-end recall
+    gate; the raw hash-seeded candidate set itself is not portable
+    SQL — this verified formulation is.
 
     Scale shape: banding bounds candidate volume; the exact scorer
     touches candidates only (same tier as dedup_cascade's LSH path).
     """
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(
-        docs, num_perm=64, bands=16, threshold=0.5
+        docs, num_perm=128, bands=32, threshold=0.5
     ).select("doc_a", "doc_b")
     return exact_verify_pairs(docs, cand, threshold=0.7)
 
@@ -635,8 +639,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates ≥ 0.85 at the tighter Hamming ≤ 8) re-scored with exact
     distinct-shingle Jaccard and cut at 0.8, making the output the
     exact Jaccard-0.8 pair set — portable SQL, unlike the raw 63-bit
-    vote arithmetic. Hash-match against the exact-pair oracle is an
-    end-to-end recall gate for the sketch tier."""
+    vote arithmetic. Like ``dedup_minhash_lsh_pairs`` this is a
+    CONDITIONAL oracle: it hash-matches exactly when sketch recall is
+    1.0 (observed at every tested sf at this generous Hamming-16
+    cut); a future corpus with an adversarial borderline pair would
+    surface as a hash mismatch here while the ``dedup_simhash``
+    acceptance row still gates recall ≥ 0.85. Hash-match against the
+    exact-pair oracle is an end-to-end recall gate for the sketch
+    tier."""
     docs = _t(spark, sf_dir, "documents")
     cand = simhash_near_dup_pairs(docs, max_distance=16).select(
         "doc_a", "doc_b"
@@ -9659,21 +9669,43 @@ def q_label_noise_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "neighbor_id",
         )
+        # divide by the ACTUAL neighbor count, not a hard-coded k:
+        # an IVF probe whose nprobe cells hold < k other vectors
+        # returns fewer neighbors, and a fixed denominator would
+        # silently deflate its disagreement (ADVICE r6)
         return labeled.groupBy("query_id").agg(
             (
                 F.count(F.when(F.col("n_label") != F.col("q_label"), 1))
-                / F.lit(5.0)
+                / F.count(F.lit(1))
             ).alias(out)
         )
 
     bf = per_probe(brute_force_knn(emb, queries, k=5), "d_bf")
     ivf = per_probe(ivf_knn(emb, queries, k=5, nlist=16, nprobe=4), "d_ivf")
-    j = bf.join(ivf, "query_id")
+    # anchor on the probe set and LEFT-join both tiers: a probe with
+    # zero IVF neighbors keeps its row (n_probes stays hash-exact)
+    # and its coalesced d_ivf = -1 fails the flag comparison — the
+    # failure surfaces in the gated boolean, not as an opaque count
+    # mismatch (ADVICE r6)
+    j = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(bf, "query_id", "left")
+        .join(ivf, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("d_bf", F.lit(-1.0)).alias("d_bf"),
+            F.coalesce("d_ivf", F.lit(-1.0)).alias("d_ivf"),
+        )
+    )
     return j.agg(
         F.count(F.lit(1)).alias("n_probes"),
         (
             F.avg(
-                ((F.col("d_bf") >= 0.6) == (F.col("d_ivf") >= 0.6)).cast("double")
+                (
+                    ((F.col("d_bf") >= 0.6) == (F.col("d_ivf") >= 0.6))
+                    & (F.col("d_ivf") >= 0)
+                    & (F.col("d_bf") >= 0)
+                ).cast("double")
             )
             >= 0.9
         ).alias("flag_agreement_ok"),

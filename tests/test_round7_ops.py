@@ -92,3 +92,40 @@ class TestCodebookDeterminism:
         b1 = book_map(emb.repartition(1))
         b32 = book_map(emb.repartition(32, "vec_id"))
         assert b1 == b32
+
+
+class TestKcoreGuards:
+    def test_iterations_zero_raises(self, spark):
+        import pytest as _pytest
+
+        from mapreducewordoccurences_spark.operators.graph import (
+            kcore_membership,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2)], "doc_a long, doc_b long"
+        )
+        with _pytest.raises(ValueError):
+            kcore_membership(edges, k=2, iterations=0)
+
+    def test_early_stop_returns_converged_core(self, spark):
+        """A long chain peels one pendant pair per round — deep peel
+        depth. With a huge iterations budget the convergence check
+        must stop at the fixed point and return the true (empty)
+        2-core without paying the remaining no-op rounds."""
+        from mapreducewordoccurences_spark.operators.graph import (
+            kcore_membership,
+        )
+
+        chain = [(i, i + 1) for i in range(12)]
+        edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+        out = kcore_membership(edges, k=2, iterations=50)
+        assert out.count() == 0
+        # and a triangle + pendant tail converges to exactly the triangle
+        tri = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+        edges2 = spark.createDataFrame(tri, "doc_a long, doc_b long")
+        got = {
+            (r["node"], r["core_degree"])
+            for r in kcore_membership(edges2, k=2, iterations=50).collect()
+        }
+        assert got == {(0, 2), (1, 2), (2, 2)}
