@@ -67,11 +67,12 @@ def embedding_near_dup_pairs(
 
 def semantic_dedup_profile(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 150,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cells
     bound the semantic near-dup candidates, so cosine is never scored
@@ -86,9 +87,10 @@ def semantic_dedup_profile(
     100 TB shape: the trainer (functions/clustering.py) broadcasts the
     k·dim centroid table and never shuffles the vectors; the pair join
     shuffles each vector once on cluster_id, and candidate volume is
-    Σ_c |c|² — bounded by choosing k ∝ n/target_cell_size (k=8 here
-    only because the testdata is small; production SemDeDup uses
-    ~25k-100k cells). Within-cell scoring is embarrassingly parallel
+    Σ_c |c|² — bounded because k defaults to ``derive_semdedup_k``
+    (k = max(8, n // target_cell_size) — ∝ n, the production rule;
+    the paper's runs use ~25k-100k cells). Within-cell scoring is
+    embarrassingly parallel
     and stays JVM-side (zip_with/aggregate dot products)."""
     from mapreducewordoccurences_spark.functions.clustering import (
         kmeans_fit_predict,
@@ -96,6 +98,10 @@ def semantic_dedup_profile(
 
     from mapreducewordoccurences_spark.functions.similarity import dot, l2_norm
 
+    if k is None:
+        # production sizing rule: cells ∝ corpus size, so Σ|c|² stays
+        # linear in n (one count — a driver scalar — per invocation)
+        k = derive_semdedup_k(df.count(), target_cell_size)
     assign = kmeans_fit_predict(df, id_col, vec_col, k=k, iters=iters).select(
         id_col, "cluster_id"
     )
@@ -139,4 +145,87 @@ def semantic_dedup_profile(
         (F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0)))
         .cast("long")
         .alias("n_kept"),
+    )
+
+
+def derive_semdedup_k(n: int, target_cell_size: int = 150) -> int:
+    """SemDeDup cell count derived from corpus size: k = max(8,
+    n // target_cell_size), so candidate volume Σ_c |c|² stays
+    ~n·target_cell_size (linear in n) instead of n²/k for a constant
+    k. The paper's production runs use ~25k-100k cells on billions of
+    embeddings — the same ∝ n rule."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    if target_cell_size < 1:
+        raise ValueError(
+            f"target_cell_size must be >= 1, got {target_cell_size}"
+        )
+    return max(8, n // target_cell_size)
+
+
+def semantic_dedup_recall(
+    df: DataFrame,
+    threshold: float = 0.95,
+    iters: int = 2,
+    target_cell_size: int = 150,
+    min_recall: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measure what SemDeDup's cell restriction costs: the share of
+    EXACT cosine-≥-threshold pairs whose endpoints land in the SAME
+    k-means cell (within-cell recall). Pairs straddling a cell
+    boundary are structurally invisible to ``semantic_dedup_profile``
+    — the paper accepts this miss; this operator measures it instead
+    of assuming it.
+
+    Returns ONE row (n_vectors, k_cells, n_exact_pairs,
+    n_within_cell_pairs, recall_ok) with k derived via
+    ``derive_semdedup_k`` (k ∝ n, so the measurement exercises the
+    production sizing rule, not a test constant).
+
+    Scale note: the exact denominator here is the O(n²) verifier tier
+    — this is an AUDIT you run on a sampled slice (embeddings tables
+    here are ≤ a few thousand rows), not on the full corpus; the
+    measured recall then transfers to the production run at the same
+    k/n ratio because cell occupancy, not corpus size, drives the
+    boundary-miss rate."""
+    from mapreducewordoccurences_spark.functions.clustering import (
+        kmeans_fit_predict,
+    )
+
+    n = df.count()
+    k = derive_semdedup_k(n, target_cell_size)
+    assign = kmeans_fit_predict(df, id_col, vec_col, k=k, iters=iters).select(
+        id_col, "cluster_id"
+    )
+    exact = embedding_near_dup_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col, exact=True
+    ).select("id_a", "id_b")
+    labeled = exact.join(
+        assign.select(
+            F.col(id_col).alias("id_a"), F.col("cluster_id").alias("__ca")
+        ),
+        "id_a",
+    ).join(
+        assign.select(
+            F.col(id_col).alias("id_b"), F.col("cluster_id").alias("__cb")
+        ),
+        "id_b",
+    )
+    return labeled.agg(
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.lit(k).cast("bigint").alias("k_cells"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.count(F.when(F.col("__ca") == F.col("__cb"), 1)).alias(
+            "n_within_cell_pairs"
+        ),
+        (
+            (F.count(F.lit(1)) == 0)
+            | (
+                F.count(F.when(F.col("__ca") == F.col("__cb"), 1))
+                / F.count(F.lit(1))
+                >= min_recall
+            )
+        ).alias("recall_ok"),
     )
