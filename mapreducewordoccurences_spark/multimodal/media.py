@@ -8,23 +8,27 @@ byte-for-byte, metadata is columnar and prunable). Heavy per-item work
 batch, not once per row, and each task streams batches — no executor
 needs a whole partition of media in memory at once.
 
-Codec note: every operator first tries the engine's self-describing
-test header (``fake_image_bytes`` — deterministic, closed-form
-oracles), then falls back to a REAL decoder behind a try-import of
-Pillow (``_try_import_pil``). With Pillow installed, real
-PNG/JPEG/GIF payloads decode, featurize, resize, and frame-sample
-through the exact same Arrow-batched plumbing; without it (this
-sandbox), real payloads yield NULL dims/features — the same graceful
-path corrupt bytes take, so jobs never fail on codec availability.
-The Spark-side contract — schemas, batch iteration, partitioning,
-UDF signatures — is identical either way and tested in both modes.
-Video (ffmpeg) remains header-driven: frame COUNTS fan out rows;
-attaching real frame bytes would slot into the same iterator.
+Codec note: image payloads go through a REAL PNG/APNG codec built on
+stdlib ``zlib`` + ``struct`` (``png_encode`` / ``_png_meta`` /
+``_png_pixels`` — CRC-checked chunks, deflated filtered scanlines,
+spec-complete APNG for multi-frame clips), mirroring the audio
+tier's stdlib-``wave`` path: genuine bit-format round-trips with
+zero native deps. The engine's legacy self-describing test header
+(``fake_image_bytes``) still parses first (constant-time, used by
+corrupt-path tests), and Pillow remains a try-import fallback for
+OTHER formats (JPEG/GIF) — absent Pillow those yield NULL
+dims/features, the same graceful path corrupt bytes take, so jobs
+never fail on codec availability. The Spark-side contract — schemas,
+batch iteration, partitioning, UDF signatures — is identical on
+every path. Video (ffmpeg) remains header-driven: frame COUNTS fan
+out rows; attaching real frame bytes would slot into the same
+iterator.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -86,6 +90,282 @@ def _parse_header(payload: bytes | None) -> tuple[int, int, int, int] | None:
     return w, h, c, f
 
 
+# ---------------------------------------------------------------------------
+# Real image codec with ZERO optional deps: PNG / APNG via stdlib
+# ``zlib`` + ``struct`` (mirrors the stdlib-``wave`` audio move).
+# ``png_encode`` writes genuine bit-format files — 8-byte signature,
+# CRC-checked chunks, zlib-deflated filtered scanlines, and for
+# multi-frame clips a spec-complete APNG (acTL + per-frame fcTL/fdAT
+# with shared sequence numbering). ``_png_meta`` / ``_png_pixels``
+# parse them back through the codec, so the catalog's media rows
+# exercise a real encode→decode round-trip in any Python. Pillow
+# remains the try-import fallback for OTHER formats (JPEG/GIF).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels ↔ PNG color type (8-bit depth): gray, gray+alpha, RGB, RGBA
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+_PNG_N_CHANNELS = {0: 1, 4: 2, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_frame_pixels(width: int, height: int, channels: int, frame: int) -> bytes:
+    """Deterministic pixel bytes for synthetic frame ``frame``:
+    byte i = (i·31 + 7 + frame·13) mod 256 — same closed form as the
+    legacy fake body, so features/oracles stay arithmetic."""
+    import numpy as np  # noqa: PLC0415 — worker-side
+
+    n = width * height * channels
+    return (
+        ((np.arange(n, dtype=np.uint32) * 31 + 7 + frame * 13) % 256)
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
+def _png_filtered(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Raw pixel bytes → PNG scanline stream (filter byte 0 per row)."""
+    import numpy as np  # noqa: PLC0415
+
+    row = width * channels
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, row)
+    out = np.zeros((height, row + 1), dtype=np.uint8)
+    out[:, 1:] = arr
+    return out.tobytes()
+
+
+def png_encode(
+    width: int,
+    height: int,
+    channels: int = 3,
+    n_frames: int = 1,
+    frames: list[bytes] | None = None,
+) -> bytes:
+    """A genuine PNG (n_frames == 1) or spec-complete APNG
+    (n_frames > 1) built with stdlib zlib/struct only.
+
+    ``frames`` supplies raw pixel bytes per frame (width·height·
+    channels each); when omitted, deterministic synthetic frames are
+    generated (``_png_frame_pixels``) so catalog oracles can predict
+    content arithmetically."""
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError(f"channels must be 1..4, got {channels}")
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+    if frames is not None and len(frames) != n_frames:
+        raise ValueError(f"expected {n_frames} frames, got {len(frames)}")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
+    out = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
+
+    def frame_stream(f: int) -> bytes:
+        px = frames[f] if frames is not None else _png_frame_pixels(
+            width, height, channels, f
+        )
+        return zlib.compress(_png_filtered(width, height, channels, px))
+
+    if n_frames == 1:
+        out.append(_png_chunk(b"IDAT", frame_stream(0)))
+    else:
+        out.append(_png_chunk(b"acTL", struct.pack(">II", n_frames, 0)))
+        seq = 0
+        for f in range(n_frames):
+            fctl = struct.pack(
+                ">IIIIIHHBB", seq, width, height, 0, 0, 1, 10, 0, 0
+            )
+            out.append(_png_chunk(b"fcTL", fctl))
+            seq += 1
+            data = frame_stream(f)
+            if f == 0:
+                out.append(_png_chunk(b"IDAT", data))
+            else:
+                out.append(
+                    _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+                )
+                seq += 1
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def _png_chunks(payload: bytes):
+    """Yield (tag, data) for each CRC-valid chunk; stop (yield nothing
+    more) on any structural violation — the caller's partial view then
+    fails closed."""
+    pos = len(_PNG_SIG)
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            return
+        data = payload[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", payload, end)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            return
+        yield tag, data
+        if tag == b"IEND":
+            return
+        pos = end + 4
+
+
+def _png_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    """(width, height, channels, n_frames) from PNG/APNG bytes via the
+    stdlib parser, or None when the payload is not an 8-bit PNG."""
+    if payload is None or not payload.startswith(_PNG_SIG):
+        return None
+    w = h = ch = None
+    n_frames = 1
+    for tag, data in _png_chunks(payload):
+        if tag == b"IHDR":
+            if len(data) != 13:
+                return None
+            w, h, depth, color = struct.unpack_from(">IIBB", data)
+            if depth != 8 or color not in _PNG_N_CHANNELS:
+                return None
+            ch = _PNG_N_CHANNELS[color]
+        elif tag == b"acTL" and len(data) >= 4:
+            (n_frames,) = struct.unpack_from(">I", data)
+        elif tag == b"IDAT":
+            break  # acTL must precede IDAT (APNG spec); nothing left to learn
+    if w is None:
+        return None
+    return w, h, ch, n_frames
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes | None:
+    """PNG scanline stream → raw pixel bytes (all five filter types).
+    The all-zero-filter fast path (what ``png_encode`` writes) is
+    vectorized; filtered foreign rows fall back to the per-byte
+    reconstruction from the spec."""
+    import numpy as np  # noqa: PLC0415
+
+    row = width * channels
+    if len(raw) != height * (row + 1):
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, row + 1)
+    if not arr[:, 0].any():
+        return arr[:, 1:].tobytes()
+    bpp = channels
+    out = np.zeros((height, row), dtype=np.uint8)
+    for y in range(height):
+        ftype = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(row, np.int32)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) % 256
+        else:  # Sub / Average / Paeth need left-neighbor recurrence
+            cur = np.zeros(row, dtype=np.int32)
+            for x in range(row):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    cur[x] = (line[x] + a) % 256
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) % 256
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pr) % 256
+                else:
+                    return None
+            out[y] = cur
+    return out.tobytes()
+
+
+def _png_frame_streams(payload: bytes) -> list[bytes] | None:
+    """Per-frame compressed scanline streams: [IDAT..] for the first
+    frame, then one stream per fdAT run (APNG frames each carry a
+    complete zlib stream)."""
+    if not payload.startswith(_PNG_SIG):
+        return None
+    idat: list[bytes] = []
+    frames: list[bytes] = []
+    cur: list[bytes] | None = None
+    for tag, data in _png_chunks(payload):
+        if tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"fcTL" and idat:
+            # an fcTL after IDAT opens a new fdAT frame
+            if cur:
+                frames.append(b"".join(cur))
+            cur = []
+        elif tag == b"fdAT" and cur is not None:
+            cur.append(data[4:])  # strip the sequence number
+    if cur:
+        frames.append(b"".join(cur))
+    if not idat:
+        return None
+    return [b"".join(idat), *frames]
+
+
+def _png_pixels(payload: bytes | None, frame: int = 0) -> bytes | None:
+    """Raw pixel bytes of one frame, through the full codec path
+    (chunk walk → zlib inflate → unfilter), or None."""
+    if payload is None:
+        return None
+    meta = _png_meta(payload)
+    if meta is None:
+        return None
+    w, h, ch, _ = meta
+    streams = _png_frame_streams(payload)
+    if streams is None or frame >= len(streams):
+        return None
+    try:
+        raw = zlib.decompress(streams[frame])
+    except zlib.error:
+        return None
+    return _png_unfilter(raw, w, h, ch)
+
+
+def _nn_resample(
+    pixels: bytes, w: int, h: int, ch: int, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample of raw pixel bytes (vectorized)."""
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return np.ascontiguousarray(arr[ys][:, xs]).tobytes()
+
+
+def _png_resize(payload: bytes, tw: int, th: int) -> bytes | None:
+    """Decode → nearest-neighbor resample every frame → re-encode,
+    all through the stdlib codec. Returns None for non-PNG bytes."""
+    meta = _png_meta(payload)
+    if meta is None:
+        return None
+    w, h, ch, _ = meta
+    streams = _png_frame_streams(payload)
+    if streams is None:
+        return None
+    frames_px = []
+    for stream in streams:
+        try:
+            raw = zlib.decompress(stream)
+        except zlib.error:
+            return None
+        px = _png_unfilter(raw, w, h, ch)
+        if px is None:
+            return None
+        frames_px.append(_nn_resample(px, w, h, ch, tw, th))
+    return png_encode(tw, th, ch, len(frames_px), frames=frames_px)
+
+
 def _try_import_pil():
     """Pillow, or None. Evaluated lazily inside worker batches so the
     real-codec path lights up wherever the executor image has Pillow,
@@ -114,8 +394,13 @@ def _real_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
 
 
 def _any_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
-    """Fake-header first (cheap constant-time parse), then real codec."""
-    return _parse_header(payload) or _real_image_meta(payload)
+    """Fake-header first (cheap constant-time parse), then the stdlib
+    PNG/APNG codec, then Pillow for other formats."""
+    return (
+        _parse_header(payload)
+        or _png_meta(payload)
+        or _real_image_meta(payload)
+    )
 
 
 def make_fake_media(df: DataFrame, id_col: str = "doc_id", kind: str = "image") -> DataFrame:
@@ -130,16 +415,20 @@ def make_fake_media(df: DataFrame, id_col: str = "doc_id", kind: str = "image") 
         channels = 1 + id % 3
         n_frames = 1 + id % 5
 
-    The encode runs in Arrow-batched mapInPandas exactly like a real
-    media ingest would; the catalog queries (media_image_dims,
-    media_frame_sample) round-trip encode → decode and check the
-    result against the closed-form oracle."""
+    Payloads are REAL PNGs (APNG when n_frames > 1), written and read
+    back through the stdlib codec (``png_encode`` / ``_png_meta``) —
+    a genuine bit-format round-trip with zero native deps, same as
+    the audio tier's stdlib-``wave`` path. The encode runs in
+    Arrow-batched mapInPandas exactly like a real media ingest would;
+    the catalog queries (media_image_dims, media_frame_sample)
+    round-trip encode → decode and check the result against the
+    closed-form oracle."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             payloads = [
-                fake_image_bytes(
+                png_encode(
                     16 + int(i) % 48, 16 + (int(i) * 7) % 40, 1 + int(i) % 3, 1 + int(i) % 5
                 )
                 for i in ids
@@ -150,7 +439,7 @@ def make_fake_media(df: DataFrame, id_col: str = "doc_id", kind: str = "image") 
                     "kind": kind,
                     "payload": payloads,
                     "meta": [
-                        {"source": "synthetic", "mime": f"{kind}/fake", "bytes": len(p)}
+                        {"source": "synthetic", "mime": "image/png", "bytes": len(p)}
                         for p in payloads
                     ],
                 }
@@ -216,6 +505,9 @@ def extract_image_features(
             return None
         if _parse_header(p) is not None:
             return p[hdr_size:]
+        png_px = _png_pixels(p)
+        if png_px is not None:
+            return png_px
         image_mod = _try_import_pil()
         if image_mod is None:
             return None
@@ -304,7 +596,13 @@ def resize_images(
             for p in pdf[payload_col]:
                 hdr = _parse_header(p)
                 if hdr is None:
-                    resized = real_resize(p) if p is not None else None
+                    # stdlib PNG/APNG first (always available), Pillow
+                    # for other formats, NULL for the rest
+                    resized = None
+                    if p is not None:
+                        resized = _png_resize(p, target_width, target_height)
+                        if resized is None:
+                            resized = real_resize(p)
                     payloads.append(resized)
                     widths.append(target_width if resized is not None else None)
                     heights.append(target_height if resized is not None else None)

@@ -955,9 +955,13 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: deterministic fake payloads
-    (multimodal/media.py) encoded and decoded through Arrow-batched
-    mapInPandas, then a relational dims histogram."""
+    """Multimodal plumbing end-to-end: deterministic REAL PNG payloads
+    (multimodal/media.py png_encode — stdlib zlib/struct codec, CRC'd
+    chunks, deflated scanlines) encoded and decoded back through the
+    codec in Arrow-batched mapInPandas, then a relational dims
+    histogram. The oracle predicts the histogram arithmetically from
+    the closed-form dims, so any codec or plumbing break diverges the
+    hash."""
     from mapreducewordoccurences_spark.multimodal.media import (
         decode_image_meta,
         make_fake_media,
@@ -981,7 +985,8 @@ def q_media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame-sampling fan-out (one row per kept frame)
-    over the deterministic fake clips."""
+    over deterministic REAL APNG clips — frame counts come from the
+    acTL chunk via the stdlib codec."""
     from mapreducewordoccurences_spark.multimodal.media import (
         make_fake_media,
         sample_frames,
