@@ -1,0 +1,602 @@
+"""Embedding similarity and retrieval: exact/LSH/IVF/PQ/IVF-PQ ANN tiers, semantic dedup (SemDeDup), PCA, k-means profiles, and hybrid BM25+vector retrieval with RRF fusion.
+
+Split from the former single-module queries.py (round 7). The
+QUERIES/ORACLES registration contract is unchanged: importing this
+module registers its queries with the shared registry.
+"""
+
+from __future__ import annotations
+
+from mapreducewordoccurences_spark.queries._shared import *  # noqa: F401,F403
+
+@register(
+    "embedding_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rnk <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 probe vectors. IDs+rank only in
+    the output: rank order is float-stable (random embeddings → sim
+    gaps ≫ ulp), sim values themselves are not bit-portable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return brute_force_knn(emb, queries, k=5).select("query_id", "neighbor_id", "rnk")
+
+
+@register(
+    "embedding_lsh_topk",
+    # LSH hyperplane hashes aren't SQL-portable, but the tier's quality
+    # contract is: per-query recall@5 vs the exact tier (both computed
+    # Spark-side, deterministic under the fixed hash seeds) must clear
+    # a floor. The oracle verifies the probe-query set, k, and the
+    # claimed acceptance.
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN acceptance: per-probe recall@5 against the exact
+    brute-force tier, thresholded at 0.4 (observed ≥ 0.6; seeds fixed
+    in functions/similarity.py). Raw top-k output is covered by the
+    recall pytest (tests/test_operators_extra.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = lsh_knn(emb, queries, k=5, dim=64)
+    exact = brute_force_knn(emb, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
+
+
+@register(
+    "embedding_ivf_topk",
+    # same acceptance contract as embedding_lsh_topk, for the IVF tier
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN acceptance (k-means cells + nprobe probing; see
+    functions/similarity.py ivf_knn for the at-scale index layout):
+    per-probe recall@5 vs the exact tier, thresholded at 0.4
+    (observed ≥ 0.6 across sf 0.001-0.1; Lloyd seeding is fixed)."""
+    from mapreducewordoccurences_spark.functions.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = ivf_knn(emb, queries, k=5, nlist=16, nprobe=4)
+    exact = brute_force_knn(emb, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
+
+
+@register(
+    "udf_vector_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(
+               embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_udf_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas-UDF surface: per-row L2 norms of embeddings.
+    (Deliberately the one catalog entry with Python in the plan — the
+    extension contract, not a hot path.)"""
+    from mapreducewordoccurences_spark.functions.udfs import vector_norm_udf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(vector_norm_udf("embedding"), 6).alias("l2_norm")
+    )
+
+
+@register(
+    "array_stats_embeddings",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                          AS DECIMAL(28,10)))) AS DOUBLE) AS l2_norm_sq
+    FROM embeddings
+    """,
+)
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column, all
+    JVM-side (no UDF): size, element_at, filter, and a
+    transform+aggregate squared-norm. Each float product is cast to
+    decimal BEFORE summing, so the reduction is order-independent —
+    the only way a float fold matches bit-for-bit across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = lambda x: (x.cast("double") * x.cast("double")).cast("decimal(28,10)")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("decimal(28,10)"),
+            lambda acc, x: (acc + sq(x)).cast("decimal(28,10)"),
+        )
+        .cast("double")
+        .alias("l2_norm_sq"),
+    )
+
+
+@register(
+    "embedding_filtered_topk",
+    """
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label = 1
+      WHERE q.vec_id < 10)
+    WHERE rnk <= 5
+    """,
+)
+def q_embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: the corpus predicate
+    (label = 1) applies BEFORE scoring and pushes down to the scan —
+    top-k is over the filtered candidate set, the standard
+    filtered-ANN semantics vector stores expose."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn(
+        emb.where(F.col("label") == 1), emb.where(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id", "rnk")
+
+
+@register(
+    "bm25_topk_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), stats AS (
+      SELECT avg(len(t)) AS avgdl, count(*) AS n_docs FROM toks
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl, w AS word, count(*) AS tf
+      FROM (SELECT doc_id, t, unnest(t) AS w FROM toks)
+      WHERE w IN ('spark', 'window', 'join', 'stream')
+      GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), scores AS (
+      SELECT doc_id,
+             SUM( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) ) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN stats s
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(ROUND(score, 4) AS DOUBLE) AS score,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rnk
+          FROM scores)
+    WHERE rnk <= 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 4-term query (k1=1.2, b=0.75, Lucene
+    idf). Rank ties break on the ROUNDED score then doc_id so both
+    engines order identically. Only query-term hits are ever shuffled
+    (functions/ranking.py bm25_scores)."""
+    from mapreducewordoccurences_spark.functions.ranking import bm25_scores
+
+    scored = bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "window", "join", "stream"]
+    ).select("doc_id", F.round("score", 4).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 20)
+    )
+
+
+@register(
+    "embedding_quantized_topk",
+    """
+    WITH q8 AS (
+      SELECT vec_id,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> GREATEST(-127, LEAST(127, CAST(floor(
+                      x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0)
+                      + 0.5) AS INT)))) AS q,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), approx AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, qs.v AS qv, c.v AS cv,
+             list_dot_product(CAST(qs.q AS DOUBLE[]), CAST(c.q AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(qs.q AS DOUBLE[]), CAST(qs.q AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])))) AS a
+      FROM q8 qs JOIN q8 c ON c.vec_id <> qs.vec_id
+      WHERE qs.vec_id < 8
+    ), cand AS (
+      SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY a DESC, neighbor_id) AS arnk
+        FROM approx) WHERE arnk <= 12
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(cos_sim, 6) AS DOUBLE) AS cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))
+                                         * sqrt(list_dot_product(cv, cv))) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY list_dot_product(qv, cv)
+                                         / (sqrt(list_dot_product(qv, qv))
+                                            * sqrt(list_dot_product(cv, cv))) DESC,
+                                         neighbor_id) AS rnk
+      FROM cand)
+    WHERE rnk <= 3
+    """,
+)
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized search: int8 scoring pass (4× smaller
+    stored vectors, integer dot products) keeps 4k candidates, float
+    re-rank keeps k=3. floor(x+0.5) rounding on BOTH engines — round()
+    tie rules differ (functions/similarity.py quantized_knn)."""
+    from mapreducewordoccurences_spark.functions.similarity import quantized_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_knn(
+        emb, emb.where(F.col("vec_id") < 8), k=3, rerank_factor=4
+    ).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )
+
+
+@register(
+    "kmeans_cluster_profile",
+    _KMEANS_A2_CTE
+    + """
+    SELECT cluster_id, count(*) AS n_members, sum(d) AS sum_sq_dist
+    FROM a2 GROUP BY cluster_id
+    """,
+)
+def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means refinement (k=8, 2 assignment passes) over
+    the embeddings table — functions/clustering.py. Centroids broadcast
+    each pass; the update shuffle is bounded by k x dim x partitions, not
+    by row count."""
+    from mapreducewordoccurences_spark.functions.clustering import (
+        kmeans_cluster_profile,
+    )
+
+    return kmeans_cluster_profile(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, iters=2
+    )
+
+
+@register(
+    "gram_matrix_embeddings",
+    # the one distributed pass of PCA: fixed-point integer sums of
+    # per-row double products (trunc at 1e-12, BIGINT sum, one final
+    # division) — bit-identical in both engines; trunc() is explicit
+    # because DuckDB's double->int cast rounds where Spark truncates
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         a AS (SELECT vec_id, unnest(v) AS vi, unnest(range(len(v))) AS i FROM e),
+         b AS (SELECT vec_id, unnest(v) AS vj, unnest(range(len(v))) AS j FROM e),
+         up AS (SELECT i, j,
+                       sum(CAST(trunc(a.vi * b.vj * 1e12) AS BIGINT)) / 1e12 AS g
+                FROM a JOIN b USING (vec_id)
+                WHERE i <= j
+                GROUP BY i, j)
+    SELECT i, j, g FROM up
+    UNION ALL
+    SELECT j AS i, i AS j, g FROM up WHERE i < j
+    """,
+)
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA (functions/pca.py): d x d gram matrix
+    in one pass; the exchange carries at most d^2 x partitions partially
+    aggregated rows, never the row set."""
+    from mapreducewordoccurences_spark.functions.pca import gram_matrix
+
+    return gram_matrix(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+@register(
+    "xty_embeddings_label",
+    # the X^T y pass of a normal-equations linear fit — same
+    # fixed-point protocol as gram_matrix_embeddings
+    """
+    SELECT i, sum(CAST(trunc(xi * CAST(label AS DOUBLE) * 1e12) AS BIGINT)) / 1e12 AS v
+    FROM (SELECT CAST(label AS DOUBLE) AS label,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS xi,
+                 unnest(range(len(embedding))) AS i
+          FROM embeddings)
+    GROUP BY i
+    """,
+)
+def q_xty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X^T y at fixed point (functions/pca.py xty_vector): with
+    gram_matrix_embeddings these are the ONLY row-scale passes a
+    normal-equations ridge fit needs — the d x d solve is driver-side
+    dimension-bounded math (test_pca.py checks the full fit vs
+    numpy)."""
+    from mapreducewordoccurences_spark.functions.pca import xty_vector
+
+    return xty_vector(_t(spark, sf_dir, "embeddings"), "embedding", "label")
+
+
+@register(
+    "bucketed_auc_embeddings",
+    """
+    WITH scored AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 100) AS BIGINT) AS bucket,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ), hist AS (
+      SELECT bucket,
+             count(CASE WHEN pos = 1 THEN 1 END) AS np,
+             count(CASE WHEN pos = 0 THEN 1 END) AS nn
+      FROM scored GROUP BY bucket
+    ), cum AS (
+      SELECT np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY bucket
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_nn_below
+      FROM hist
+    )
+    SELECT SUM(np * (2 * cum_nn_below + nn))
+             / (2.0 * SUM(np) * SUM(nn)) AS auc,
+           SUM(np) AS n_pos,
+           SUM(nn) AS n_neg,
+           count(*) AS n_buckets
+    FROM cum
+    """,
+)
+def q_bucketed_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval AUC (Mann-Whitney U) at scale: classical AUC ranks
+    every score globally — a full sort. On a fixed score grid the
+    statistic is EXACT for the bucketed scores: AUC = Σ_b
+    n_pos(b)·(2·cum_neg(<b) + n_neg(b)) / (2·P·N), all integer
+    arithmetic until one closing divide (ties inside a bucket get the
+    standard ½ credit). The only data-scale pass is the per-bucket
+    label count; the cumulative runs on the bucket axis. Here: score
+    = first embedding component, positive = odd label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 100)
+        .cast("bigint")
+        .alias("bucket"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+    )
+    hist = scored.groupBy("bucket").agg(
+        F.count(F.when(F.col("pos") == 1, 1)).alias("np"),
+        F.count(F.when(F.col("pos") == 0, 1)).alias("nn"),
+    )
+    # bounded axis: score buckets (floor(score*100) → ≤ ~200 rows)
+    wbelow = (
+        Window.partitionBy()
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(wbelow), F.lit(0)).alias("cum_nn_below"),
+    )
+    return cum.agg(
+        (
+            F.sum(F.col("np") * (2 * F.col("cum_nn_below") + F.col("nn")))
+            / (F.lit(2.0) * F.sum("np") * F.sum("nn"))
+        ).alias("auc"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+@register(
+    "embedding_pq_topk",
+    # same acceptance contract as the LSH/IVF tiers, for the PQ tier
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN acceptance — the MEMORY-bound tier
+    completing the ANN family (exact / LSH / IVF / scalar-quantized /
+    PQ): per-subspace codebooks compress vectors to m·log2(ks) bits
+    (8 bytes here vs 256 for float32×64), the ADC scan touches only
+    codes, and the exact tier re-ranks a 100-candidate shortlist
+    (functions/similarity.py pq_knn_rerank). Acceptance: per-probe
+    recall@5 vs brute force >= 0.4 (observed 1.0 at every tested sf
+    with m=16 — random unit vectors are PQ's hardest case, which is
+    exactly why the deployed shortlist+rerank shape is the registered
+    operator rather than raw ADC top-k)."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        pq_knn_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = pq_knn_rerank(emb, queries, k=5, shortlist=100, m=16, ks=16)
+    exact = brute_force_knn(emb, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
+
+
+@register(
+    "embedding_ivfpq_topk",
+    # same acceptance contract as the other ANN tiers, for IVF∘PQ
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF∘PQ ANN acceptance (Jégou et al. IVFADC — the deployed
+    billion-vector layout; functions/similarity.py ivfpq_knn): the
+    coarse k-means quantizer bounds WHICH codes a query ADC-scans
+    (nprobe/nlist of the corpus), PQ bounds WHAT the scan touches
+    (m·log2(ks)-bit codes, not float vectors), and the exact tier
+    re-ranks a 100-candidate shortlist from full vectors. The
+    persisted layout (build_ivfpq_index / ivfpq_probe) writes codes
+    partitionBy(cell), so probes read nprobe/nlist of the code files
+    via dynamic partition pruning (plan-tested) and the probe output
+    is bit-identical to this inline composition. Acceptance:
+    per-probe recall@5 vs brute force >= 0.4 (observed 0.9 at
+    sf0.001 with nprobe=4 — cell pruning trades the flat-PQ scan's
+    recall 1.0 for a 4/16 corpus-scan fraction; deterministic:
+    fixed-point k-means + fixed-point codebooks)."""
+    from mapreducewordoccurences_spark.functions.similarity import ivfpq_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = ivfpq_knn(
+        emb, queries, k=5, nlist=16, nprobe=4, shortlist=100, m=16, ks=16
+    )
+    exact = brute_force_knn(emb, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    # BM25 CTE identical to bm25_topk_docs; vector ranks by raw
+    # cosine (rank gaps >> ulp on random embeddings, same convention
+    # as embedding_cosine_topk); RRF = 1/(60+rank) sums of exact
+    # small-int ranks — both engines compute the identical two
+    # correctly-rounded double divisions, ties broken by doc_id.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), stats AS (
+      SELECT avg(len(t)) AS avgdl, count(*) AS n_docs FROM toks
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl, w AS word, count(*) AS tf
+      FROM (SELECT doc_id, t, unnest(t) AS w FROM toks)
+      WHERE w IN ('spark', 'window', 'join', 'stream')
+      GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), scores AS (
+      SELECT doc_id,
+             SUM( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) ) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN stats s
+      GROUP BY doc_id
+    ), lexr AS (
+      SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rn
+        FROM scores)
+      WHERE rn <= 50
+    ), vecr AS (
+      SELECT doc_id, CAST(rn AS INT) AS vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) DESC,
+                 e.vec_id) AS rn
+        FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+        WHERE e.vec_id <> 0)
+      WHERE rn <= 50
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0) AS rrf
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, CAST(rn AS INT) AS fused_rank FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+    WHERE rn <= 10
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    RAG-index serving pattern: BM25 lexical top-50 (only query-term
+    hits shuffled) and cosine vector top-50 against probe vec_id 0
+    (query broadcast, corpus never self-joined) are fused by
+    RRF(d) = Σ 1/(60 + rank_d) and re-ranked. Both top-50 cuts use
+    orderBy+limit (TakeOrderedAndProject — distributed partial top-k,
+    NO single-partition global sort over the corpus); rank numbers
+    are then assigned by a window over the bounded 50-row result,
+    and the fused window sees ≤ 100 rows. Output is ranks only —
+    no float column crosses the engine boundary."""
+    from mapreducewordoccurences_spark.functions.ranking import bm25_scores
+    from mapreducewordoccurences_spark.functions.similarity import (
+        cosine_similarity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    lex50 = (
+        bm25_scores(docs, ["spark", "window", "join", "stream"])
+        .select("doc_id", F.round("score", 4).alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    lexr = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("__s").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    vec50 = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity("embedding", "__q").alias("__cs"),
+        )
+        .orderBy(F.col("__cs").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    vecr = vec50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("__cs").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("vec_rank"),
+    )
+
+    fused = lexr.join(vecr, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(rrf.desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .where(F.col("fused_rank") <= 10)
+        .select("doc_id", "lex_rank", "vec_rank", "fused_rank")
+    )

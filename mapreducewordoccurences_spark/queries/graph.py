@@ -1,0 +1,271 @@
+"""Graph analytics over similarity and interaction edges: PageRank, triangle counting, degree distributions, and k-core extraction for dedup-cluster QA.
+
+Split from the former single-module queries.py (round 7). The
+QUERIES/ORACLES registration contract is unchanged: importing this
+module registers its queries with the shared registry.
+"""
+
+from __future__ import annotations
+
+from mapreducewordoccurences_spark.queries._shared import *  # noqa: F401,F403
+
+@register("pagerank_event_transitions", _pagerank_oracle(10))
+def q_pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (which event
+    types are 'central' in user flows), 10 iterations, EXACT integer
+    fixed-point — the iterative-linear-algebra surface made
+    engine-portable: scaled int64 ranks with truncating integer
+    division make every iteration bit-identical across engines and
+    shuffle orders, so the driver can hash-match an iterative
+    algorithm that float arithmetic would leave ulp-divergent
+    (operators/graph.py; the oracle unrolls the identical recurrence
+    through 10 chained CTEs). Per iteration: one edges⋈ranks join +
+    one destination-keyed groupBy — the Pregel shape that scales to
+    web graphs; the event-type graph here is deliberately tiny so the
+    oracle stays cheap."""
+    from mapreducewordoccurences_spark.operators.graph import pagerank_fixed_point
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_micros(events, "ts"), F.col("event_id")
+    )
+    edges = (
+        events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixed_point(
+        edges, weight_col="w", iterations=10
+    ).select("node", "rank_fp")
+
+
+@register(
+    "triangles_session_overlap_users",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, session_id,
+               min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM numbered GROUP BY 1, 2
+    ), e AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    ), nodes AS (
+        SELECT u AS node FROM e UNION SELECT v FROM e
+    )
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*)
+            FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q_triangles_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the concurrent-usage graph (users connected
+    when their 30-min sessions overlap in time) — the clustering
+    signal behind community/cohort detection. The engine runs the
+    degree-orientation algorithm (operators/graph.py triangle_count,
+    Suri-Vassilvitskii): wedge volume is bounded by O(m^1.5) instead
+    of the hub-degree² blow-up of the oracle's naive u<v<w three-way
+    join, which is fine for DuckDB at oracle scale and exactly what
+    you can't run on a 100 TB event graph. Edges come from the same
+    bucketed interval-overlap join as overlapping_sessions_pairs."""
+    from mapreducewordoccurences_spark.operators.graph import triangle_count
+    from mapreducewordoccurences_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_micros(events, "ts"), F.col("event_id")
+    )
+    tus = ts_micros(events, "ts")
+    ordered = events.select(
+        "user_id",
+        tus.alias("ts_us"),
+        F.when(tus - F.lag(tus).over(w) > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("is_new"),
+        F.col("event_id"),
+    )
+    numbered = ordered.select(
+        "user_id",
+        "ts_us",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("sid_a"),
+        F.col("start_us").alias("start_a"),
+        F.col("end_us").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("sid_b"),
+        F.col("start_us").alias("start_b"),
+        F.col("end_us").alias("end_b"),
+    )
+    edges = (
+        interval_overlap_join(
+            a, b, "start_a", "end_a", "start_b", "end_b",
+            bucket_width=3_600_000_000,
+            left_id=["user_a", "sid_a"], right_id=["user_b", "sid_b"],
+        )
+        .where(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b")
+        .distinct()
+    )
+    return triangle_count(edges, "user_a", "user_b")
+
+
+@register(
+    "degree_distribution_session_graph",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, session_id,
+               min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM numbered GROUP BY 1, 2
+    ), e AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    ), deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q_degree_distribution_session_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the concurrent-usage graph — the first
+    thing to look at before running any graph algorithm on it (a
+    heavy-tailed histogram predicts hub blow-ups that degree-ordered
+    algorithms must absorb). Same bucketed interval-overlap edge
+    build, then one degree groupBy + one histogram groupBy."""
+    from mapreducewordoccurences_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_micros(events, "ts"), F.col("event_id")
+    )
+    tus = ts_micros(events, "ts")
+    numbered = events.select(
+        "user_id",
+        tus.alias("ts_us"),
+        F.when(tus - F.lag(tus).over(w) > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    ).select(
+        "user_id",
+        "ts_us",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_id"),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"), F.col("session_id").alias("sid_a"),
+        F.col("start_us").alias("start_a"), F.col("end_us").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"), F.col("session_id").alias("sid_b"),
+        F.col("start_us").alias("start_b"), F.col("end_us").alias("end_b"),
+    )
+    edges = (
+        interval_overlap_join(
+            a, b, "start_a", "end_a", "start_b", "end_b",
+            bucket_width=3_600_000_000,
+            left_id=["user_a", "sid_a"], right_id=["user_b", "sid_b"],
+        )
+        .where(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("user_a").alias("node"))
+        .unionAll(edges.select(F.col("user_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "kcore_near_dup_docs",
+    _EXACT_PAIRS_CTE.format(thr=0.5) + _kcore_unrolled_sql(k=2, rounds=5),
+)
+def q_kcore_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the document near-dup graph (shingle Jaccard >= 0.5)
+    — dedup-cluster QA: connected components over near-dup pairs
+    over-merge through CHAIN links (A~B~C with A!~C, the classic
+    transitive-closure false merge); the 2-core keeps exactly the
+    docs with >= 2 surviving similar neighbors — the dense template
+    clusters worth aggressive dedup — and peels chain links and
+    pendants. Matula-Beck bulk peel, 5 unrolled rounds (converges in
+    <= 2 on every tested sf; monotone, so extra rounds are no-ops —
+    at 100 TB the operator loops on an alive-count convergence check
+    instead).
+
+    Scale: pair generation is the uncapped posting-list join
+    (dedup/ngram.py); each peel round is two node-keyed semi-joins +
+    one degree groupBy with lineage truncation
+    (operators/graph.py kcore_membership) — no driver graph state."""
+    from mapreducewordoccurences_spark.operators.graph import kcore_membership
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5)
+    return kcore_membership(
+        pairs, k=2, iterations=5, a_col="doc_a", b_col="doc_b"
+    ).select(F.col("node").alias("doc_id"), "core_degree")

@@ -1,0 +1,124 @@
+"""Multimodal media rows: real PNG/APNG image round-trips, WAV audio corpus statistics, and frame-sampling fan-out, all through Arrow-batched mapInPandas.
+
+Split from the former single-module queries.py (round 7). The
+QUERIES/ORACLES registration contract is unchanged: importing this
+module registers its queries with the shared registry.
+"""
+
+from __future__ import annotations
+
+from mapreducewordoccurences_spark.queries._shared import *  # noqa: F401,F403
+
+@register(
+    "media_image_dims",
+    # the Spark side round-trips encode (mapInPandas) -> binary payload
+    # -> decode (mapInPandas) -> dims histogram; the oracle predicts
+    # the same histogram arithmetically from make_fake_media's
+    # closed-form dims — any plumbing break (header packing, Arrow
+    # batch shape, NULL handling) diverges the hash.
+    """
+    SELECT CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 40 AS INT) AS height,
+           count(*) AS n_images
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: deterministic REAL PNG payloads
+    (multimodal/media.py png_encode — stdlib zlib/struct codec, CRC'd
+    chunks, deflated scanlines) encoded and decoded back through the
+    codec in Arrow-batched mapInPandas, then a relational dims
+    histogram. The oracle predicts the histogram arithmetically from
+    the closed-form dims, so any codec or plumbing break diverges the
+    hash."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        decode_image_meta,
+        make_fake_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    meta = decode_image_meta(make_fake_media(docs))
+    return meta.groupBy("width", "height").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+@register(
+    "media_frame_sample",
+    # n_frames = 1 + doc_id % 5 (make_fake_media), every_nth=2 →
+    # kept frame indices are range(0, n_frames, 2), oracle-computable
+    # without touching payload bytes
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, CAST(1 + doc_id % 5 AS INT), 2)) AS INT) AS frame_idx
+    FROM documents
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame-sampling fan-out (one row per kept frame)
+    over deterministic REAL APNG clips — frame counts come from the
+    acTL chunk via the stdlib codec."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        make_fake_media,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sample_frames(make_fake_media(docs), every_nth=2)
+
+
+@register(
+    "media_audio_stats",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8000 * (1 + doc_id % 3) AS sample_rate,
+             1 + doc_id % 2 AS n_channels,
+             64 + (doc_id * 13) % 400 AS n_samples,
+             500 + (doc_id % 100) * 7 AS amp
+      FROM documents
+    )
+    SELECT CAST(sample_rate AS INT) AS sample_rate,
+           CAST(n_channels AS INT) AS n_channels,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(n_samples) AS BIGINT) AS total_samples,
+           CAST(sum(n_samples) * 1000 AS DOUBLE) / sample_rate
+             AS total_duration_ms,
+           CAST(sum(amp) AS BIGINT) AS sum_rms,
+           CAST(max(amp) AS BIGINT) AS max_peak
+    FROM p GROUP BY sample_rate, n_channels
+    """,
+)
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-corpus profiling through a REAL codec end to end: WAV
+    payloads are synthesized (stdlib ``wave`` encoder — genuine RIFF
+    containers, square waves at id-derived amplitude), decoded back
+    through the same codec, and profiled relationally (clips /
+    samples / duration / RMS energy / peak per format bucket). Unlike
+    the Pillow-optional image path, this real decode runs in ANY
+    Python — no optional dependency — making it the always-on proof
+    of the multimodal plumbing contract (multimodal/media.py).
+
+    The oracle predicts every decoded field arithmetically from
+    _audio_params: a square wave's RMS and peak are exactly its
+    amplitude, so even the energy statistics are integer-exact
+    cross-engine. duration is one int-to-double divide per group.
+
+    Scale: encode/decode are Arrow-batched mapInPandas streaming
+    batches (no whole-partition buffering); the aggregate is an
+    ordinary groupBy on a 6-cell format key."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        decode_audio_meta,
+        make_fake_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = decode_audio_meta(make_fake_audio(docs))
+    return meta.groupBy("sample_rate", "n_channels").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        (
+            (F.sum("n_samples") * 1000).cast("double") / F.col("sample_rate")
+        ).alias("total_duration_ms"),
+        F.sum("rms").alias("sum_rms"),
+        F.max("peak").alias("max_peak"),
+    )

@@ -1,0 +1,141 @@
+"""sf1 oracle sweep: the heaviest catalog queries verified against
+DuckDB at ONE DECADE past the driver's correctness scale.
+
+The driver gates correctness at sf0.01 and the scaling probe times
+(but does not verify) sf1 — so a scale-dependent wrong answer
+(int overflow, skew-dependent tie-break, cap that silently starts
+binding) would go unnoticed. This tool closes that gap (VERDICT r6
+ask #5): run the ~25 heaviest / most scale-sensitive queries at
+``.localdata/sf1`` (tools/gen_sf1.py) with the same three-gate
+compare as the driver (rows, schema, order-insensitive values) and
+write ``CORRECTNESS_sf1_r{N}.json``.
+
+Excluded by design:
+- ``semantic_dedup_clusters``: its oracle replays the integer k-means
+  at the k the DERIVED rule yields at oracle scale (8); at sf1 the
+  rule yields k=53 and the fixed CTE is definitionally stale.
+- ``semantic_dedup_recall_audit``: O(n²) exact denominator — an audit
+  row for sampled slices, not a 32M-pair sweep entry.
+- streaming rows: covered by their own batch-parity harness; the
+  memory-sink materialization dominates at sf1 without adding
+  verification value.
+
+Usage: python tools/sf1_oracle_sweep.py [round] [sf_dir] [out_path]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.full_correctness_sweep import TABLES, values_match  # noqa: E402
+
+HEAVY = [
+    "wordcount",
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "q18_large_order_customers",
+    "window_topk_orders_per_cust",
+    "rollup_orders",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_incremental_minhash",
+    "dedup_threshold_sensitivity",
+    "near_dedup_keepset",
+    "near_dedup_keepset_lsh",
+    "dedup_clusters",
+    "substring_dedup_spans",
+    "kcore_near_dup_docs",
+    "group_split_leakage_audit",
+    "bpe_learn_merges",
+    "embedding_cosine_topk",
+    "pagerank_event_transitions",
+    "triangles_session_overlap_users",
+]
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_ROUND", "7")
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else ".localdata/sf1"
+    out_path = (
+        sys.argv[3] if len(sys.argv) > 3 else f"CORRECTNESS_sf1_r{int(rnd):02d}.json"
+    )
+
+    from mapreducewordoccurences_spark.queries import ORACLES, QUERIES
+    from mapreducewordoccurences_spark.session import get_spark
+
+    missing = [n for n in HEAVY if n not in QUERIES or n not in ORACLES]
+    if missing:
+        print(f"unknown queries: {missing}", file=sys.stderr)
+        return 2
+
+    spark = get_spark("sf1-sweep", master="local[32]")
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+
+    results: dict[str, dict] = {}
+    n_green = n_fail = 0
+    for name in HEAVY:
+        rec: dict = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "spark_sec": None,
+            "oracle_sec": None,
+            "err": None,
+        }
+        try:
+            t0 = time.perf_counter()
+            spdf = QUERIES[name](spark, sf_dir).toPandas()
+            rec["spark_sec"] = round(time.perf_counter() - t0, 3)
+            rec["spark_rows"] = len(spdf)
+            t0 = time.perf_counter()
+            ddf = con.sql(ORACLES[name]).df()
+            rec["oracle_sec"] = round(time.perf_counter() - t0, 3)
+            rec["oracle_rows"] = len(ddf)
+            rec["rows_match"] = len(spdf) == len(ddf)
+            rec["schema_match"] = sorted(spdf.columns) == sorted(ddf.columns)
+            rec["hash_match"] = (
+                rec["rows_match"] and rec["schema_match"] and values_match(spdf, ddf)
+            )
+            if rec["hash_match"]:
+                n_green += 1
+            else:
+                n_fail += 1
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            n_fail += 1
+        results[name] = rec
+        print(f"{name}: {'green' if rec['hash_match'] else 'FAIL'} "
+              f"(spark {rec['spark_sec']}s, duck {rec['oracle_sec']}s)",
+              file=sys.stderr)
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_checked": len(HEAVY),
+        "n_green": n_green,
+        "n_fail": n_fail,
+    }
+    with open(out_path, "w") as f:
+        json.dump({"summary": summary, "queries": results}, f, indent=1)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
