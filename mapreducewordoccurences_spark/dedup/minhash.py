@@ -2,11 +2,25 @@
 dedup tier (the shape used by web-scale corpus dedup à la
 GPT-3/Gopher/RefinedWeb pipelines).
 
-Pipeline: shingle → 64-bit base hash → ``num_perm`` universal-hash
-permutations h_i(x) = (a_i·x + b_i) mod p → per-doc signature
-(array of per-permutation minima) → split signature into ``bands``
-bands of ``rows_per_band`` → docs sharing any band-hash become
-candidates → exact signature agreement estimates Jaccard.
+Pipeline: shingle → 64-bit base hash → ``num_perm`` independent
+rehashes h_i(x) = xxhash64(x, i·seed-mix) → per-doc signature
+(array of per-hash minima) → split signature into ``bands`` bands of
+``rows_per_band`` → docs sharing any band-hash become candidates →
+exact signature agreement estimates Jaccard.
+
+Why rehashing, not affine "permutations": the classic
+h_i(x) = (a_i·x + b_i) mod p is only a permutation-like shuffle if
+the products wrap mod p many times. With BIGINT-safe parameters
+(a < 2³¹ over a 30-bit folded domain) a_i·x + b_i < 2p — each map is
+order-PRESERVING with a single cut point, so every "permutation"
+ranks the shingle set in the same underlying order and the num_perm
+minima are massively correlated. The agreement rate then estimates a
+gap-weighted overlap with per-pair variance that doesn't shrink with
+num_perm — measured at sf1: pairs with exact J=0.95 showed agreement
+≈0.37 and were missed by all 32 bands. A fresh xxhash64 of
+(base_hash, i) per permutation is a genuinely independent family:
+agreement is Binomial(num_perm, J)/num_perm, the S-curve math holds,
+and the hot loop stays primitive-BIGINT whole-stage-codegen.
 
 Why this scales where ngram.py's inverted index doesn't: candidate
 generation is bounded by band-bucket collisions (tunable via the
@@ -24,24 +38,10 @@ consumes and cost ~25% of end-to-end runtime.)
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mapreducewordoccurences_spark.dedup.ngram import shingles_df
-
-_MERSENNE_P = (1 << 61) - 1
-
-
-def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
-    # a < 2^31 keeps a·h30 + b < 2^62 — pure BIGINT arithmetic, no
-    # overflow under ANSI mode and no boxed-decimal slow path.
-    rng = random.Random(seed)
-    return [
-        (rng.randrange(1, 1 << 31), rng.randrange(0, _MERSENNE_P))
-        for _ in range(num_perm)
-    ]
 
 
 def _base_hash(col: Column) -> Column:
@@ -63,20 +63,19 @@ def minhash_signatures(
     One shuffle (groupBy id); the num_perm minima fold into a single
     partial-aggregated pass, so shuffle rows = docs, not shingles.
     """
-    params = _perm_params(num_perm, seed)
     sh = shingles_df(df, id_col, text_col, n).select(
         F.col(id_col), _base_hash(F.col("shingle")).alias("__h")
     )
-    # Permutations fold the base hash to 30 nonnegative bits first so
-    # a·h30 + b stays inside BIGINT (a < 2^31 ⇒ product < 2^61; sum
-    # < 2^62). Collision cost of the 30-bit fold is negligible for
-    # minhashing (birthday term ~df²/2^31) and it keeps the hot loop
-    # in primitive longs — the boxed-DECIMAL version was 2× slower
-    # end-to-end.
-    h30 = F.pmod(F.col("__h"), F.lit(1 << 30))
+    # Each "permutation" is an independent 64-bit rehash of the base
+    # hash: xxhash64(__h, mix_i) where mix_i folds (seed, i) into one
+    # literal. Hashing an (int64, int64) pair is one codegen'd call —
+    # no mod-p arithmetic, no order-preserving-map bias (see module
+    # docstring for why the affine family was statistically broken).
     mins = [
-        F.min((h30 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"__m{i}")
-        for i, (a, b) in enumerate(params)
+        F.min(
+            F.xxhash64(F.col("__h"), F.lit(seed * 1_000_003 + i))
+        ).alias(f"__m{i}")
+        for i in range(num_perm)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(

@@ -80,7 +80,17 @@ def main() -> int:
         print(f"unknown queries: {missing}", file=sys.stderr)
         return 2
 
-    spark = get_spark("sf1-sweep", master="local[32]")
+    # same memory headroom the scaling probe uses at sf1 (pair-emitting
+    # dedup queries materialize millions of rows in one driver JVM)
+    spark = get_spark(
+        "sf1-sweep",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+        },
+    )
     con = duckdb.connect()
     for name in TABLES:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
