@@ -134,7 +134,13 @@ def kmeans_centroids(
     the plan); each Lloyd round is one broadcast assignment plus one
     posexplode + (cell, dim) groupBy to average element-wise — both
     shuffle O(corpus × dim) numbers, the price of an index build, paid
-    once. Empty cells simply drop out (fewer lists, never a crash)."""
+    once. Empty cells simply drop out (fewer lists, never a crash).
+
+    Centroid updates use the repo's fixed-point convention (exact
+    BIGINT sums of 2²⁰-scaled values + truncating integer division,
+    same as functions/clustering.py and pq_codebooks): the persisted
+    index is bit-identical regardless of partition count or summation
+    order — F.avg over raw doubles would drift with cluster layout."""
     w_id = F.row_number().over(Window.orderBy(id_col))
     centroids = (
         corpus.orderBy(id_col)
@@ -149,7 +155,19 @@ def kmeans_centroids(
         centroids = (
             assigned.select("__cell", F.posexplode(vec_col).alias("__pos", "__v"))
             .groupBy("__cell", "__pos")
-            .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+            .agg(
+                F.sum(
+                    (F.col("__v").cast("double") * F.lit(1048576)).cast("long")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "__cell",
+                "__pos",
+                (F.expr("__s div __n").cast("double") / F.lit(1048576.0)).alias(
+                    "__m"
+                ),
+            )
             .groupBy("__cell")
             .agg(
                 F.transform(
