@@ -95,36 +95,58 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_verify_pairs(docs, cand, threshold=0.7)
 
 
-@register(
-    "dedup_simhash_pairs",
-    _EXACT_PAIRS_CTE.format(thr=0.8)
-    + """
-    SELECT doc_a, doc_b, i / (x.n + y.n - i) AS jaccard
-    FROM inter JOIN sizes x ON x.doc_id = doc_a
-               JOIN sizes y ON y.doc_id = doc_b
-    WHERE i / (x.n + y.n - i) >= 0.8
-    """,
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pair set, EXACT-VERIFIED: pigeonhole-block
-    candidates at Hamming ≤ 16 (a generous cut — recall of the
-    Jaccard-0.8 set observed 1.0; the acceptance row ``dedup_simhash``
-    gates ≥ 0.85 at the tighter Hamming ≤ 8) re-scored with exact
-    distinct-shingle Jaccard and cut at 0.8, making the output the
-    exact Jaccard-0.8 pair set — portable SQL, unlike the raw 63-bit
-    vote arithmetic. Like ``dedup_minhash_lsh_pairs`` this is a
-    CONDITIONAL oracle: it hash-matches exactly when sketch recall is
-    1.0 (observed at every tested sf at this generous Hamming-16
-    cut); a future corpus with an adversarial borderline pair would
-    surface as a hash mismatch here while the ``dedup_simhash``
-    acceptance row still gates recall ≥ 0.85. Hash-match against the
-    exact-pair oracle is an end-to-end recall gate for the sketch
-    tier."""
-    docs = _t(spark, sf_dir, "documents")
-    cand = simhash_near_dup_pairs(docs, max_distance=16).select(
-        "doc_a", "doc_b"
+def _simhash_portable_oracle_sql(max_distance: int = 3) -> str:
+    """DuckDB SQL that recomputes the PORTABLE simhash fingerprints
+    bit-for-bit (low 60 bits of md5(token), per-bit ±1 votes, sign
+    rule ``sum > 0``) and emits the exact Hamming-ball pair set via
+    a brute-force self-join — a maximally independent implementation
+    of the same published definition (Charikar'02 / Manku'07)."""
+    votes = "\n      + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
     )
-    return exact_verify_pairs(docs, cand, threshold=0.8)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+    ), fp AS (
+      SELECT doc_id, {votes} AS simhash
+      FROM tok GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+    """
+
+
+@register("dedup_simhash_pairs", _simhash_portable_oracle_sql(max_distance=3))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair set — the exact Hamming-≤3 ball over
+    PORTABLE 60-bit fingerprints (low 60 bits of md5(token); see
+    dedup/simhash.py), which the oracle recomputes bit-for-bit in
+    SQL and pairs by brute force. UNCONDITIONAL oracle: pigeonhole
+    blocking recalls the Hamming ball completely by construction
+    (any pair within d agrees on ≥1 of d+1 blocks), bit_count(xor)
+    verification is exact, and the fingerprint function itself is
+    engine-portable — no sketch-recall assumption anywhere, at any
+    scale.
+
+    History: through r6 this row exact-Jaccard-verified Hamming-≤16
+    candidates against the J≥0.8 pair-set oracle — CONDITIONAL on
+    sketch recall 1.0. The r7 sf1 sweep falsified the condition at
+    scale AND exposed the cost shape (17 pigeonhole blocks of ~3.7
+    bits → near-quadratic equi-join, 579 s at sf1). d=3 → 4 blocks
+    of 15 bits (Manku et al.'s classic config) is the scale-safe
+    shape, and the portable hash makes the contract exact instead of
+    conditional. The Hamming↔Jaccard *correlation* — the sketchy
+    part — is still gated by the ``dedup_simhash`` acceptance row
+    (recall ≥ 0.85 of the exact J≥0.8 pairs at Hamming ≤ 8)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_distance=3, portable=True)
 
 
 @register(
