@@ -21,6 +21,9 @@ Excluded by design:
   verification value.
 
 Usage: python tools/sf1_oracle_sweep.py [round] [sf_dir] [out_path]
+       SPARK_GRAFT_SWEEP_ONLY=q1,q2 ... — re-run just those queries
+       and merge into an existing out_path (post-fix partial re-sweep;
+       the summary is recomputed over the merged record set).
 """
 
 from __future__ import annotations
@@ -75,7 +78,9 @@ def main() -> int:
     from mapreducewordoccurences_spark.queries import ORACLES, QUERIES
     from mapreducewordoccurences_spark.session import get_spark
 
-    missing = [n for n in HEAVY if n not in QUERIES or n not in ORACLES]
+    only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+    to_run = [q.strip() for q in only.split(",") if q.strip()] if only else list(HEAVY)
+    missing = [n for n in to_run if n not in QUERIES or n not in ORACLES]
     if missing:
         print(f"unknown queries: {missing}", file=sys.stderr)
         return 2
@@ -96,8 +101,10 @@ def main() -> int:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
 
     results: dict[str, dict] = {}
-    n_green = n_fail = 0
-    for name in HEAVY:
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("queries", {})
+    for name in to_run:
         rec: dict = {
             "rows_match": None,
             "schema_match": None,
@@ -122,21 +129,18 @@ def main() -> int:
             rec["hash_match"] = (
                 rec["rows_match"] and rec["schema_match"] and values_match(spdf, ddf)
             )
-            if rec["hash_match"]:
-                n_green += 1
-            else:
-                n_fail += 1
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
-            n_fail += 1
         results[name] = rec
         print(f"{name}: {'green' if rec['hash_match'] else 'FAIL'} "
               f"(spark {rec['spark_sec']}s, duck {rec['oracle_sec']}s)",
               file=sys.stderr)
 
+    n_green = sum(1 for r in results.values() if r.get("hash_match"))
+    n_fail = len(results) - n_green
     summary = {
         "sf_dir": sf_dir,
-        "n_checked": len(HEAVY),
+        "n_checked": len(results),
         "n_green": n_green,
         "n_fail": n_fail,
     }
