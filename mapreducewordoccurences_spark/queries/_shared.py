@@ -319,10 +319,17 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     defines ``exact`` pairs): round i recounts degrees over edges
     whose endpoints both survived round i-1. Same recurrence as
     operators/graph.py kcore_membership; monotone, so rounds past
-    convergence are no-ops."""
+    convergence are no-ops.
+
+    ``sym`` and each round's alive set are MATERIALIZED: DuckDB 1.0
+    inlines CTEs by default, and inlining re-evaluates the quadratic
+    ``exact`` pair CTE once per reference — 5 peel rounds × 2
+    endpoint filters compounded it past the box's memory at sf1
+    (observed OOM in the r7 sweep). Materializing pins cost at one
+    pair-generation pass + five cheap peels."""
     parts = [
         """
-    , sym AS (
+    , sym AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM exact
       UNION
       SELECT doc_b AS u, doc_a AS v FROM exact
@@ -340,7 +347,7 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
             f"""
     , d{i} AS (
       SELECT u AS node, count(*) AS core_degree FROM {live} GROUP BY u
-    ), a{i} AS (
+    ), a{i} AS MATERIALIZED (
       SELECT node FROM d{i} WHERE core_degree >= {k}
     )"""
         )

