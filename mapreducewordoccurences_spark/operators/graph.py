@@ -173,6 +173,124 @@ def triangle_count(
     )
 
 
+def triangle_count_approx(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_samples: int = 100_000,
+    seed: int = 7,
+) -> DataFrame:
+    """ONE-row APPROXIMATE triangle count via stratified wedge
+    sampling (Schank & Wagner '05 / Seshadhri et al. '13):
+    (n_nodes, n_edges, n_wedges, n_sampled, est_triangles).
+
+    Why it exists: exact counting — even degree-oriented O(m^1.5)
+    (``triangle_count``) — explodes on DENSE graphs. The r7 sf1 probe
+    measured the synthetic session-overlap graph at 14.25M edges over
+    15k nodes (~13% dense): Σ deg² ≈ 10¹⁰ wedges, infeasible on both
+    engines. Sampling decouples cost from wedge volume entirely:
+    work is O(E + n_samples), with relative error O(1/√(κ·k)) for
+    closure rate κ.
+
+    Per-vertex stratification keeps it deterministic AND unbiased
+    without driver-side state: each center v with degree d holds
+    w_v = d(d-1)/2 wedges; it draws s_v = ceil(k · w_v / W) sample
+    wedges (so every stratum with wedges gets ≥ 1), each an
+    xxhash64-seeded uniform unordered neighbor pair resolved by
+    row_number index — no adjacency arrays, no rand(), bit-identical
+    across runs and partitionings. The estimator Σ_v w_v · closed_v/s_v
+    sums each triangle's three closed wedges in expectation, so /3 at
+    the end. All steps are node-keyed equi-joins + one broadcast of
+    the 1-row wedge total; nothing grows with Σ deg².
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.least(a_col, b_col).alias("u"), F.greatest(a_col, b_col).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).select(
+        F.col("u").alias("center"), F.col("v").alias("nbr")
+    )
+    # pseudo-random but deterministic neighbor order per center; the
+    # index is what lets hash-picked pairs resolve without arrays
+    idx_w = Window.partitionBy("center").orderBy(
+        F.xxhash64("center", "nbr", F.lit(seed)), F.col("nbr")
+    )
+    indexed = sym.select(
+        "center", "nbr", (F.row_number().over(idx_w) - 1).alias("idx")
+    ).persist()
+    stats = (
+        indexed.groupBy("center")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= 2)
+        .select("center", "d", (F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w_v"))
+    )
+    totals = stats.agg(
+        F.sum("w_v").alias("n_wedges"), F.count(F.lit(1)).alias("__n_centers")
+    )
+    alloc = stats.crossJoin(F.broadcast(totals)).select(
+        "center",
+        "d",
+        "w_v",
+        F.ceil(F.lit(n_samples) * F.col("w_v") / F.col("n_wedges")).cast("long").alias("s_v"),
+    )
+    drawn = alloc.select(
+        "center", "d", "w_v", "s_v",
+        F.explode(F.sequence(F.lit(0), F.col("s_v") - 1)).alias("j"),
+    )
+    a_idx = F.pmod(F.xxhash64("center", "j", F.lit(seed + 1)), F.col("d"))
+    # shift trick: b ranges uniformly over the d-1 indices != a
+    b_idx = F.pmod(
+        a_idx + 1 + F.pmod(F.xxhash64("center", "j", F.lit(seed + 2)), F.col("d") - 1),
+        F.col("d"),
+    )
+    picked = drawn.select(
+        "center", "w_v", "s_v", a_idx.alias("__ai"), b_idx.alias("__bi")
+    )
+    wa = indexed.select(
+        F.col("center"), F.col("idx").alias("__ai"), F.col("nbr").alias("__x")
+    )
+    wb = indexed.select(
+        F.col("center"), F.col("idx").alias("__bi"), F.col("nbr").alias("__y")
+    )
+    sampled = picked.join(wa, ["center", "__ai"]).join(wb, ["center", "__bi"])
+    closed = sampled.join(
+        e.select(
+            F.col("u").alias("__cx"), F.col("v").alias("__cy"), F.lit(1).alias("__hit")
+        ),
+        (F.least("__x", "__y") == F.col("__cx"))
+        & (F.greatest("__x", "__y") == F.col("__cy")),
+        "left",
+    )
+    per_center = closed.groupBy("center", "w_v", "s_v").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__closed"),
+        F.count(F.lit(1)).alias("__drawn"),
+    )
+    est = per_center.agg(
+        F.sum(F.col("w_v") * F.col("__closed") / F.col("s_v")).alias("__tri3"),
+        F.sum("__drawn").alias("n_sampled"),
+    ).select(
+        (F.col("__tri3") / 3.0).alias("est_triangles"), F.col("n_sampled")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select("v"))
+        .agg(F.count_distinct("node").alias("n_nodes"))
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(totals.select("n_wedges")))
+        .crossJoin(F.broadcast(est))
+        .select("n_nodes", "n_edges", "n_wedges", "n_sampled", "est_triangles")
+    )
+
+
 def kcore_membership(
     edges: DataFrame,
     k: int = 3,
