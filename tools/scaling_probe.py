@@ -48,10 +48,34 @@ DEFAULT_PROBES = [
     "embedding_cosine_topk",
     "sessionize_events",
     "pagerank_event_transitions",
-    "triangles_session_overlap_users",
+    "op:triangles_approx",
     "label_noise_knn_disagreement",
     "bpe_learn_merges",
 ]
+
+
+def _probe_triangles_approx(spark, sf_dir_path):
+    """Probe-only: the wedge-SAMPLING estimator alone. The catalog
+    acceptance row couples it with the exact count (needed for its
+    oracle), and exact counting is the thing that explodes on the
+    ~13%-dense sf1 overlap graph (~10¹⁰ wedges — the r7 sweep hung
+    over an hour on it). The operator whose scaling matters at 100 TB
+    is the estimator: O(E + k) by design; this measures it."""
+    from mapreducewordoccurences_spark.operators.graph import triangle_count_approx
+    from mapreducewordoccurences_spark.queries.graph import _session_overlap_edges
+
+    return triangle_count_approx(
+        _session_overlap_edges(spark, sf_dir_path), "user_a", "user_b",
+        n_samples=50_000,
+    )
+
+
+# names prefixed "op:" resolve here instead of the catalog — operators
+# whose oracle-able catalog formulation deliberately includes work
+# that cannot scale (e.g. an exact-count acceptance denominator)
+PROBE_ONLY_OPS = {
+    "op:triangles_approx": _probe_triangles_approx,
+}
 
 
 def sf_dir(sf: str) -> str:
@@ -87,7 +111,7 @@ def main() -> int:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     for name in probes:
-        fn = QUERIES[name]
+        fn = PROBE_ONLY_OPS.get(name) or QUERIES[name]
         times: dict[str, float] = {}
         for sf in sfs:
             best = float("inf")
