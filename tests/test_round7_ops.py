@@ -190,3 +190,36 @@ class TestTriangleApprox:
         est = triangle_count_approx(df, n_samples=2000).collect()[0]["est_triangles"]
         assert exact == 20
         assert abs(est - exact) / exact <= 0.10
+
+
+class TestPortableSimhash:
+    def test_token_hash_matches_duckdb_bit_for_bit(self, spark):
+        """The portable 60-bit token hash (low 15 hex chars of md5) is
+        the contract that lets the DuckDB oracle recompute simhash
+        fingerprints exactly; pin the cross-engine equality."""
+        import duckdb
+
+        from mapreducewordoccurences_spark.dedup.simhash import _token_hash
+
+        toks = ["hello", "world", "42", "a", "", "Ünïcode", "x" * 100]
+        df = spark.createDataFrame([(t,) for t in toks], "t string")
+        got = {r["t"]: r["h"] for r in df.select("t", _token_hash(F.col("t"), portable=True).alias("h")).collect()}
+        con = duckdb.connect()
+        for t in toks:
+            want = con.sql(
+                "SELECT CAST(('0x' || substring(md5(?), 1, 15)) AS BIGINT)", params=[t]
+            ).fetchone()[0]
+            assert got[t] == want, t
+
+    def test_portable_fingerprints_deterministic_and_60bit(self, spark):
+        from mapreducewordoccurences_spark.dedup.simhash import simhash_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+            "doc_id long, text string",
+        )
+        fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df, portable=True).collect()}
+        assert fp[1] == fp[2]  # identical text -> identical fingerprint
+        assert all(0 <= v < (1 << 60) for v in fp.values())
+        fp2 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df.repartition(5), portable=True).collect()}
+        assert fp == fp2
