@@ -161,6 +161,19 @@ EXTRA = [
     "cusum_daily_value_shift",
     "label_noise_knn_disagreement",
     "vocab_shift_js_divergence",
+    # round-6/7 additions
+    "dedup_simhash_pairs",
+    "substring_dedup_spans",
+    "kcore_near_dup_docs",
+    "semantic_dedup_clusters",
+    "hybrid_rrf_retrieval",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "label_noise_knn_ivf",
+    "group_split_leakage_audit",
+    "sequence_packing_stats",
+    "triangles_approx_session_graph",
+    "media_audio_stats",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan
