@@ -168,6 +168,7 @@ def minhash_band_index(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistent LSH INDEX of a corpus: (signatures, band_table).
 
@@ -177,11 +178,23 @@ def minhash_band_index(
     future batch dedups against the corpus without re-shingling or
     re-hashing a single old document. Same permutations/banding as
     ``minhash_lsh_pairs`` given the same seed, so estimates are
-    directly comparable."""
+    directly comparable.
+
+    ``persist`` caches the signature table before deriving the band
+    table from it — the in-session analog of "written out once".
+    Without it, consuming both returned tables recomputes the whole
+    shingle→hash→min pipeline twice (band_table shares signatures'
+    lineage), which is exactly the rescan the index exists to avoid.
+    Measured (r7, interleaved A/B on local[32], incremental-dedup
+    shape): wash at sf0.1, ~5% faster at sf1 (6.50 vs 6.85 s) — and
+    the win grows with corpus size since the avoided recompute is a
+    full corpus scan+shingle+128-slot-min pass."""
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    if persist:
+        sigs = sigs.persist()
     band_table = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -225,7 +238,6 @@ def minhash_lsh_incremental_pairs(
     new_sigs, new_bands = minhash_band_index(
         new_df, id_col, text_col, n, num_perm, bands, seed
     )
-    new_sigs = new_sigs.persist()
     cand = (
         new_bands.select(
             F.col(id_col).alias("new_id"), "band", "band_hash"
