@@ -237,3 +237,101 @@ def pps_systematic_sample(
         .where(picked)
         .drop("__cw", "__tw", "__step", "__w")
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    lam: float = 1.0,
+    portable: bool = False,
+    fp_grain: float = 1e6,
+) -> DataFrame:
+    """DSIR importance weights: per-document log-likelihood ratio of a
+    hashed-n-gram target model vs the raw-corpus model (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023). The standard recipe for skewing a web-scale crawl
+    toward a high-quality target distribution before pretraining:
+    resample raw docs with probability ∝ exp(logw).
+
+    Features are word unigrams + bigrams hashed into ``buckets``
+    buckets; both bag-of-buckets models use add-``lam`` smoothing over
+    the bucket space. ``target_cond`` marks the rows that define the
+    target distribution (they are also part of the raw pool, as in the
+    paper's continued-pretraining setting). Output:
+    (id, dsir_logw, n_grams); docs whose text yields zero tokens have
+    no feature rows and are absent — at selection time absent means
+    "no evidence", which resampling treats as weight exp(0) ≈ median.
+
+    Portability protocol (shared with the drift family — see
+    vocab_shift_js_divergence): the per-BUCKET log-ratio is truncated
+    toward zero at ``fp_grain`` into a BIGINT once, on the ≤``buckets``-
+    row ratio table; per-doc weights are then order-free exact integer
+    sums of those fixed-point values, so the result is deterministic
+    across runs/partitionings and bit-portable across engines (a
+    one-ulp ln() difference cannot move a 1e-6-grain truncation except
+    on a boundary the smoothed count ratios do not sit on).
+    ``portable=True`` additionally swaps the gram hash from xxhash64
+    to the low 60 bits of md5 — reproducible in any SQL engine — at
+    the usual md5 string-round-trip cost (see dedup/simhash.py).
+
+    Scale design: two groupBy-count passes over the hashed gram
+    stream (map-side combinable; the gram stream is a pure projection
+    — raw text never shuffles), a ≤``buckets``-row ratio table
+    broadcast into the scoring join, and one groupBy(id) integer sum.
+    The featurized stream is consumed three times (raw counts, target
+    counts, scoring) and is persisted; at 100 TB, write it out once
+    instead — it is the paper's "featurized corpus" artifact, ~2
+    BIGINTs per gram, and every later target re-weighting reuses it
+    without touching text.
+    """
+    toks = docs.select(
+        _c(id_col).alias("__id"),
+        target_cond.alias("__is_target"),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("__t"),
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(1, size(__t) - 1), i -> concat(__t[i-1], ' ', __t[i])) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    grams = toks.select(
+        "__id", "__is_target", F.explode(F.concat(F.col("__t"), bigrams)).alias("__g")
+    )
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("__g"))
+    feats = grams.select(
+        "__id", "__is_target", F.pmod(h, F.lit(buckets)).alias("__b")
+    ).persist()
+    raw_counts = feats.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_counts = (
+        feats.where("__is_target").groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    tot_r = raw_counts.agg(F.sum("__cr").alias("__r"))
+    tot_t = tgt_counts.agg(F.sum("__ct").alias("__t_tot"))
+    lr = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(lam))
+        / (F.col("__t_tot") + F.lit(lam * buckets))
+    ) - F.log((F.col("__cr") + F.lit(lam)) / (F.col("__r") + F.lit(lam * buckets)))
+    # cast("bigint") truncates toward zero ≡ SQL trunc(); negatives OK
+    ratio = (
+        raw_counts.join(tgt_counts, "__b", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select("__b", (lr * F.lit(fp_grain)).cast("bigint").alias("__lr_fp"))
+    )
+    return (
+        feats.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(
+            (F.sum("__lr_fp") / F.lit(fp_grain)).alias("dsir_logw"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(F.col("__id").alias(id_col), "dsir_logw", "n_grams")
+    )

@@ -440,3 +440,67 @@ def q_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_straddling_docs"),
     )
+
+
+@register(
+    "dsir_importance_weights",
+    # mirrors functions/sampling.py dsir_log_weights bit-for-bit:
+    # portable md5-low-60-bit gram hash, add-1 smoothing over 10k
+    # buckets, per-bucket log-ratio truncated toward zero at 1e-6
+    # into BIGINT, order-free integer sum per doc (the drift family's
+    # fixed-point portability protocol).
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source, unnest(s) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, source,
+             unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+      FROM tok WHERE len(s) >= 2
+    ), feats AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 10000 AS b
+      FROM grams
+    ), rc AS (
+      SELECT b, count(*) AS cr FROM feats GROUP BY b
+    ), tc AS (
+      SELECT b, count(*) AS ct FROM feats WHERE source = 'src0' GROUP BY b
+    ), tot AS (
+      SELECT (SELECT SUM(cr) FROM rc) AS r, (SELECT SUM(ct) FROM tc) AS t
+    ), ratio AS (
+      SELECT rc.b,
+             CAST(trunc((ln((COALESCE(tc.ct, 0) + 1.0) / (t + 10000.0))
+                       - ln((rc.cr + 1.0) / (r + 10000.0))) * 1e6) AS BIGINT)
+               AS lr_fp
+      FROM rc LEFT JOIN tc ON rc.b = tc.b, tot
+    )
+    SELECT f.doc_id,
+           SUM(lr_fp) / 1e6 AS dsir_logw,
+           count(*) AS n_grams
+    FROM feats f JOIN ratio ON f.b = ratio.b
+    GROUP BY 1
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): score every
+    document by the log-likelihood ratio of a hashed-unigram+bigram
+    model of the TARGET distribution (source 'src0' stands in for the
+    high-quality corpus) against the raw-pool model — the importance
+    weight a web-scale pretraining pipeline resamples by. Exact
+    oracle via the fixed-point protocol; see
+    functions/sampling.py dsir_log_weights for the scale shape
+    (two combinable count passes, broadcast ratio table, no text
+    shuffle)."""
+    from mapreducewordoccurences_spark.functions.sampling import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs,
+        target_cond=F.col("source") == "src0",
+        buckets=10_000,
+        lam=1.0,
+        portable=True,
+    )

@@ -223,3 +223,66 @@ class TestPortableSimhash:
         assert all(0 <= v < (1 << 60) for v in fp.values())
         fp2 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df.repartition(5), portable=True).collect()}
         assert fp == fp2
+
+
+class TestDsir:
+    def test_target_source_scores_higher(self, spark):
+        """The target-defining docs must come out more target-like on
+        average than the rest of the pool — the direction DSIR
+        resampling depends on (weights feed exp(), so higher logw =
+        preferentially kept)."""
+        from mapreducewordoccurences_spark.functions.sampling import (
+            dsir_log_weights,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        w = dsir_log_weights(docs, target_cond=F.col("source") == "src0")
+        j = w.join(docs.select("doc_id", "source"), "doc_id")
+        rows = (
+            j.groupBy(F.col("source") == "src0")
+            .agg(F.avg("dsir_logw").alias("avg_w"))
+            .collect()
+        )
+        avg = {r[0]: r["avg_w"] for r in rows}
+        assert avg[True] > avg[False]
+
+    def test_partitioning_invariant(self, spark):
+        """Fixed-point protocol: identical weights regardless of input
+        partitioning (the order-free integer sum is the whole point)."""
+        from mapreducewordoccurences_spark.functions.sampling import (
+            dsir_log_weights,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        cond = F.col("source") == "src0"
+        a = {
+            r["doc_id"]: (r["dsir_logw"], r["n_grams"])
+            for r in dsir_log_weights(docs, cond).collect()
+        }
+        b = {
+            r["doc_id"]: (r["dsir_logw"], r["n_grams"])
+            for r in dsir_log_weights(docs.repartition(17), cond).collect()
+        }
+        assert a == b
+
+    def test_portable_and_fast_hash_agree_directionally(self, spark):
+        """portable=True swaps the bucket hash (md5 vs xxhash64); the
+        hashed-ngram model changes, the selection signal must not:
+        per-doc weights under the two hashes should correlate
+        strongly (same counts, different bucketing collisions)."""
+        from mapreducewordoccurences_spark.functions.sampling import (
+            dsir_log_weights,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        cond = F.col("source") == "src0"
+        fast = dsir_log_weights(docs, cond, portable=False).select(
+            "doc_id", F.col("dsir_logw").alias("w_fast")
+        )
+        port = dsir_log_weights(docs, cond, portable=True).select(
+            "doc_id", F.col("dsir_logw").alias("w_port")
+        )
+        corr = fast.join(port, "doc_id").agg(
+            F.corr("w_fast", "w_port").alias("c")
+        ).collect()[0]["c"]
+        assert corr > 0.99
