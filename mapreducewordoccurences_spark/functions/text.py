@@ -321,3 +321,92 @@ def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
     for pat in PII_PATTERNS.values():
         col = F.regexp_replace(col, pat, replacement)
     return col
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max_frac: float = 0.20,
+    dup5_max_frac: float = 0.15,
+) -> DataFrame:
+    """Within-document repetition filters à la Gopher/MassiveText
+    (Rae et al. 2021, Table A1): templated, looping, or
+    machine-generated text repeats itself internally, and repetitious
+    docs measurably hurt LM quality even when they pass length/
+    stopword gates. Word-level analogs of the paper's two n-gram
+    families (our corpus has no newlines, so the line/paragraph
+    family is vacuous here):
+
+    - ``top2_frac``: fraction of word positions covered by the most
+      frequent word 2-gram (2·max-count / n_words) — high when one
+      phrase dominates;
+    - ``dup5_frac``: fraction of 5-gram windows whose gram occurs
+      more than once in the doc — high for copy-paste loops;
+    - ``repetition_ok``: both below their thresholds (the paper's
+      0.20 / 0.15 defaults, char→word adapted).
+
+    Docs with fewer than 5 words are dropped (no 5-gram window; the
+    short-doc gate belongs to quality_score's length family).
+
+    All ratios are exact int/int divides — bit-deterministic across
+    engines, no float accumulation. Scale shape: one tokens
+    projection feeds both gram families; the only shuffles are two
+    (doc, gram)-keyed counts (map-side combinable, bounded by doc
+    length, raw text never shuffles) and the final doc-keyed joins.
+    """
+    base = df.select(
+        _c(id_col).alias("__id"), tokens(text_col, lowercase=True).alias("__t")
+    ).where(F.size("__t") >= 5)
+    g2 = (
+        base.select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> concat(__t[i-1], ' ', __t[i]))"
+                )
+            ).alias("__g"),
+        )
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(F.max("__c").alias("__top2"))
+    )
+    g5 = (
+        base.select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 4),"
+                    " i -> concat(__t[i-1], ' ', __t[i], ' ', __t[i+1],"
+                    " ' ', __t[i+2], ' ', __t[i+3]))"
+                )
+            ).alias("__g"),
+        )
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(F.lit(0))).alias(
+                "__dup_occ"
+            )
+        )
+    )
+    n = base.select("__id", F.size("__t").alias("n_words"))
+    top2_frac = (F.lit(2.0) * F.col("__top2")) / F.col("n_words")
+    dup5_frac = F.col("__dup_occ") / (F.col("n_words") - F.lit(4))
+    return (
+        n.join(g2, "__id")
+        .join(g5, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_words",
+            top2_frac.alias("top2_frac"),
+            dup5_frac.alias("dup5_frac"),
+            (
+                (top2_frac <= F.lit(top2_max_frac))
+                & (dup5_frac <= F.lit(dup5_max_frac))
+            ).alias("repetition_ok"),
+        )
+    )

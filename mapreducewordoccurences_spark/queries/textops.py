@@ -1145,3 +1145,53 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(f_len & f_div & f_lang, 1)).alias("after_lang"),
         F.count(F.when(f_len & f_div & f_lang & f_uniq, 1)).alias("after_dedup"),
     )
+
+
+@register(
+    "repetition_filter_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(s) AS n_words, s FROM tok WHERE len(s) >= 5
+    ), t2 AS (
+      SELECT doc_id, max(c) AS top2 FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+              FROM base)
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    ), d5 AS (
+      SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
+                             s[i+3] || ' ' || s[i+4]
+                             for i in range(1, len(s) - 3)]) AS g
+              FROM base)
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_words,
+           (2.0 * t2.top2) / b.n_words AS top2_frac,
+           d5.dup_occ / (b.n_words - 4) AS dup5_frac,
+           ((2.0 * t2.top2) / b.n_words <= 0.20)
+             AND (d5.dup_occ / (b.n_words - 4) <= 0.15) AS repetition_ok
+    FROM base b
+    JOIN t2 ON b.doc_id = t2.doc_id
+    JOIN d5 ON b.doc_id = d5.doc_id
+    """,
+)
+def q_repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition gate (Rae et al. 2021):
+    top-2-gram coverage and duplicated-5-gram fraction per document,
+    plus the keep/drop boolean at the paper's thresholds — the
+    repetition family next to quality_score's length/stopword family
+    and boilerplate_shingle_ratio's cross-doc family. Exact int/int
+    ratios; see functions/text.py repetition_stats for the scale
+    shape."""
+    from mapreducewordoccurences_spark.functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
