@@ -174,6 +174,8 @@ EXTRA = [
     "sequence_packing_stats",
     "triangles_approx_session_graph",
     "media_audio_stats",
+    "dsir_importance_weights",
+    "repetition_filter_stats",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan
