@@ -323,7 +323,7 @@ def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
     return col
 
 
-def repetition_stats(
+def gopher_repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -334,9 +334,12 @@ def repetition_stats(
     (Rae et al. 2021, Table A1): templated, looping, or
     machine-generated text repeats itself internally, and repetitious
     docs measurably hurt LM quality even when they pass length/
-    stopword gates. Word-level analogs of the paper's two n-gram
-    families (our corpus has no newlines, so the line/paragraph
-    family is vacuous here):
+    stopword gates. Complements ``repetition_stats`` above (top-token
+    + distinct-2/3-gram fractions) with the paper's two remaining
+    n-gram families — COVERAGE by the dominant 2-gram and the
+    duplicated-5-gram occurrence share — under the published
+    keep/drop thresholds. Word-level analogs (our corpus has no
+    newlines, so the line/paragraph family is vacuous here):
 
     - ``top2_frac``: fraction of word positions covered by the most
       frequent word 2-gram (2·max-count / n_words) — high when one

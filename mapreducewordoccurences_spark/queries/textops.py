@@ -1190,8 +1190,8 @@ def q_repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the keep/drop boolean at the paper's thresholds — the
     repetition family next to quality_score's length/stopword family
     and boilerplate_shingle_ratio's cross-doc family. Exact int/int
-    ratios; see functions/text.py repetition_stats for the scale
+    ratios; see functions/text.py gopher_repetition_stats for the scale
     shape."""
-    from mapreducewordoccurences_spark.functions.text import repetition_stats
+    from mapreducewordoccurences_spark.functions.text import gopher_repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, "documents"))
+    return gopher_repetition_stats(_t(spark, sf_dir, "documents"))

@@ -292,25 +292,25 @@ class TestRepetitionStats:
     def test_planted_loop_fails_gate(self, spark):
         """A doc that repeats one phrase must fail both metrics; a
         diverse doc must pass."""
-        from mapreducewordoccurences_spark.functions.text import repetition_stats
+        from mapreducewordoccurences_spark.functions.text import gopher_repetition_stats
 
         loop = ("buy now click here " * 10).strip()
         clean = "the quick brown fox jumps over a lazy dog near riverbank today"
         df = spark.createDataFrame(
             [(1, loop), (2, clean)], ["doc_id", "text"]
         )
-        rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        rows = {r["doc_id"]: r for r in gopher_repetition_stats(df).collect()}
         assert not rows[1]["repetition_ok"]
         assert rows[1]["top2_frac"] > 0.4 and rows[1]["dup5_frac"] > 0.9
         assert rows[2]["repetition_ok"]
         assert rows[2]["dup5_frac"] == 0.0
 
     def test_short_docs_dropped(self, spark):
-        from mapreducewordoccurences_spark.functions.text import repetition_stats
+        from mapreducewordoccurences_spark.functions.text import gopher_repetition_stats
 
         df = spark.createDataFrame(
             [(1, "only four words here"), (2, "five words are just enough")],
             ["doc_id", "text"],
         )
-        out = repetition_stats(df).collect()
+        out = gopher_repetition_stats(df).collect()
         assert [r["doc_id"] for r in out] == [2]
