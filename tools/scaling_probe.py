@@ -51,6 +51,8 @@ DEFAULT_PROBES = [
     "op:triangles_approx",
     "label_noise_knn_disagreement",
     "bpe_learn_merges",
+    "dsir_importance_weights",
+    "repetition_filter_stats",
 ]
 
 
