@@ -57,6 +57,12 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent overwrite here would hand one row's oracle to a
+        # different query body and surface only as an opaque sweep
+        # failure (two families registering the same name is always a
+        # naming bug, never intent — fail at import, not at verify)
+        if name in QUERIES:
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
