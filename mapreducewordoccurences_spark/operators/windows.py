@@ -70,3 +70,93 @@ def lag_delta(
     ``offset`` rows of each key."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(out_col, F.col(value_col) - F.lag(value_col, offset).over(w))
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number()`` over a TOTAL order with NO
+    single-partition window — the 100 TB-safe replacement for
+    ``Window.orderBy(...)`` with no ``partitionBy``.
+
+    Shape: ``repartitionByRange`` on the order keys (rows in range
+    partition i all sort before partition i+1), ``row_number`` WITHIN
+    each range partition, plus the cumulative row count of all earlier
+    partitions. The offsets table has one row per partition — bounded
+    by config, not data — so its cumulative window and the broadcast
+    join back are O(#partitions). The partitioned frame is
+    ``localCheckpoint``-ed so the counts pass and the rank pass see the
+    SAME physical partitioning (RangePartitioner samples per-plan;
+    without pinning, two separate jobs could draw different bounds and
+    desynchronize pid↔offset).
+
+    ``order_by`` must be a total order (include a unique tiebreak) or
+    ranks are legal-but-nondeterministic, per this module's rule.
+    """
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("__gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = part.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("__gr_n"))
+    # One row per range partition: the single-partition window here is
+    # over <= num_partitions rows (config-bounded), not the data.
+    w_off = (
+        Window.orderBy("__gr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__gr_pid",
+        F.coalesce(F.sum("__gr_n").over(w_off), F.lit(0)).alias("__gr_offset"),
+    )
+    w_local = Window.partitionBy("__gr_pid").orderBy(*order_by)
+    return (
+        part.join(F.broadcast(offsets), "__gr_pid")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_local) + F.col("__gr_offset")).cast("bigint"),
+        )
+        .drop("__gr_pid", "__gr_offset")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n_tiles: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL-standard ``ntile(n)`` over a global total order, distributed
+    via :func:`global_rank` (no single-partition window).
+
+    Semantics match ``ntile`` exactly: with N rows, the first
+    ``N % n`` tiles hold ``N div n + 1`` rows, the rest ``N div n``
+    (earlier tiles take the remainder). Ties at tile boundaries split
+    by the caller's tiebreak column — same rule both engines apply
+    given a total order. The total row count joins in as a broadcast
+    1-row aggregate, so the tile expression is pure column arithmetic.
+    """
+    ranked = global_rank(
+        df, order_by, rank_col="__gn_rank", num_partitions=num_partitions
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__gn_total"))
+    j = ranked.crossJoin(F.broadcast(total))
+    base = (F.col("__gn_total") / n_tiles).cast("bigint")  # N div n (N>=0)
+    rem = F.col("__gn_total") % n_tiles
+    cut = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    rank = F.col("__gn_rank")
+    tile = F.when(
+        rank <= cut, F.floor((rank - 1) / (base + 1)) + 1
+    ).otherwise(rem + F.floor((rank - cut - 1) / base) + 1)
+    return j.withColumn(tile_col, tile.cast("int")).drop(
+        "__gn_rank", "__gn_total"
+    )

@@ -871,18 +871,30 @@ def q_interpurchase_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gaps = p.select(
         "user_id",
-        F.expr("(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) div 1000000").alias(
-            "gap_s"
-        ),
+        # floor() to match the oracle's `//`; gaps are non-negative (ordered
+        # ascending) so div==floor today, but floor is the contract.
+        F.floor(
+            F.expr(
+                "(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))"
+            )
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
     )
     return (
         gaps.where(F.col("gap_s").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
+            # cast: percentile_disc yields DOUBLE; integer-second input makes
+            # the discrete percentile exactly a BIGINT like the oracle's
+            # quantile_disc (same convention as time_to_convert_stats below).
             F.expr(
                 "percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)"
-            ).alias("median_gap_s"),
+            )
+            .cast("bigint")
+            .alias("median_gap_s"),
             F.min("gap_s").alias("min_gap_s"),
             F.max("gap_s").alias("max_gap_s"),
         )

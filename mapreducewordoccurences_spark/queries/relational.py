@@ -1554,15 +1554,21 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile binning by account balance: ntile(4) over a total
-    order (balance desc, key tiebreak), then per-tile rollup. The
-    global window is |customers| rows on one reducer — for 100 TB
-    tables use selection_quantiles_order_price-style cutoffs instead;
-    this is the small-dimension shape."""
-    cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    tiles = cust.select(
-        "c_acctbal", F.ntile(4).over(w).alias("q")
+    """Quartile binning by account balance: SQL-standard ntile(4) over
+    a total order (balance desc, key tiebreak), then per-tile rollup —
+    computed DISTRIBUTED via global_ntile (range-partition → local
+    row_number → broadcast partition offsets), not a single-partition
+    window, so every customer row never flows through one reducer.
+    Tie-at-boundary rule: the c_custkey tiebreak makes the order
+    total, so boundary ties split identically in both engines."""
+    from mapreducewordoccurences_spark.operators.windows import global_ntile
+
+    cust = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    tiles = global_ntile(
+        cust,
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        4,
+        tile_col="q",
     )
     return tiles.groupBy("q").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1687,17 +1693,30 @@ def q_order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority",
-            F.expr("__diff_us div 86400000000").alias("first_ship_lag_days"),
+            # Floor division to match the oracle's `//` — `div` truncates
+            # toward zero, which diverges on the negative lags that dominate
+            # this synthetic dataset the moment timestamps stop being
+            # midnight-aligned.
+            F.floor(F.col("__diff_us") / F.lit(86400000000))
+            .cast("bigint")
+            .alias("first_ship_lag_days"),
         )
     )
     return lags.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
+        # percentile_disc returns DOUBLE in Spark but the discrete percentile
+        # of integer days is exactly an integer; cast so the value hash is
+        # representation-identical to the oracle's BIGINT quantile_disc.
         F.expr(
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY first_ship_lag_days)"
-        ).alias("median_lag_days"),
+        )
+        .cast("bigint")
+        .alias("median_lag_days"),
         F.expr(
             "percentile_disc(0.9) WITHIN GROUP (ORDER BY first_ship_lag_days)"
-        ).alias("p90_lag_days"),
+        )
+        .cast("bigint")
+        .alias("p90_lag_days"),
         F.min("first_ship_lag_days").alias("min_lag_days"),
         F.max("first_ship_lag_days").alias("max_lag_days"),
     )

@@ -706,8 +706,11 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT est.n_total,
-           p50_bucket * 2.0 AS p50_bucket_lo,
-           p95_bucket * 2.0 AS p95_bucket_lo,
+           -- CAST: DuckDB types BIGINT * 2.0 as DECIMAL; Spark as
+           -- DOUBLE. Both engines must emit DOUBLE for the strict
+           -- type-class comparator (and the driver's value hash).
+           CAST(p50_bucket * 2.0 AS DOUBLE) AS p50_bucket_lo,
+           CAST(p95_bucket * 2.0 AS DOUBLE) AS p95_bucket_lo,
            p50_exact >= p50_bucket * 2.0
              AND p50_exact < (p50_bucket + 1) * 2.0 AS p50_ok,
            p95_exact >= p95_bucket * 2.0

@@ -4,8 +4,17 @@ Mirrors the driver's correctness gate over the ENTIRE catalog (the
 driver's fixed set checks 50 names; pytest checks all of them but
 leaves no artifact): run every ``QUERIES[name]`` at sf0.01 alongside
 its DuckDB ``ORACLES[name]``, compare row count, column-name schema,
-and order-insensitive exact values, and write one JSON object per
-query to ``CORRECTNESS_full_r{N}.json``.
+column TYPE CLASS, and order-insensitive exact values, and write one
+JSON object per query to ``CORRECTNESS_full_r{N}.json``.
+
+The type-class check is the strict guard the r7 driver fail
+(``order_fulfillment_lag_stats``: Spark ``percentile_disc`` DOUBLE vs
+oracle ``quantile_disc`` BIGINT — numerically equal, hash-different)
+proved necessary: pandas ``==`` coerces dtypes, the driver's value
+hash does not.  We therefore compare ENGINE-level types (Spark
+``df.dtypes`` vs the DuckDB relation's ``types``), normalized to
+coarse classes (all int widths equal; float vs int is a FAIL;
+decimal, bool, str, date, timestamp, nested each their own class).
 
 Usage:
     python tools/full_correctness_sweep.py [round_number] [out_path]
@@ -29,6 +38,57 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
+
+
+_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT", "HUGEINT",
+    "LONG", "SHORT", "BYTE", "UTINYINT", "USMALLINT", "UINTEGER",
+    "UBIGINT",
+}
+
+
+def type_class(type_str: str) -> str:
+    """Coarse, engine-neutral class for a Spark or DuckDB type string.
+
+    Int widths are interchangeable (the driver normalizes those), but
+    float vs int, decimal vs double, etc. are distinct — matching the
+    driver's type-sensitive value hash.
+    """
+    t = str(type_str).strip().upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]") or t.startswith(("ARRAY", "LIST", "STRUCT", "MAP", "ROW")):
+        return "nested"
+    if t in _INT_TYPES:
+        return "int"
+    if t in {"FLOAT", "REAL", "DOUBLE"}:
+        return "float"
+    if t in {"BOOLEAN", "BOOL"}:
+        return "bool"
+    if t in {"VARCHAR", "STRING", "TEXT", "CHAR"}:
+        return "str"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t in {"BINARY", "BLOB", "VARBINARY", "BYTEA"}:
+        return "binary"
+    return t
+
+
+def dtype_mismatches(
+    spark_dtypes: list[tuple[str, str]],
+    oracle_cols: list[str],
+    oracle_types: list,
+) -> list[str]:
+    """Columns (matched by name) whose engine type classes differ."""
+    s_map = {c: type_class(t) for c, t in spark_dtypes}
+    o_map = {c: type_class(t) for c, t in zip(oracle_cols, oracle_types)}
+    return sorted(
+        f"{c}: spark={s_map[c]} oracle={o_map[c]}"
+        for c in s_map.keys() & o_map.keys()
+        if s_map[c] != o_map[c]
+    )
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -78,13 +138,22 @@ def main() -> int:
             "err": None,
         }
         try:
-            spdf = QUERIES[name](spark, sf_dir).toPandas()
+            sdf = QUERIES[name](spark, sf_dir)
+            spark_dtypes = sdf.dtypes
+            spdf = sdf.toPandas()
             rec["spark_rows"] = len(spdf)
             if name in ORACLES:
-                ddf = con.sql(ORACLES[name]).df()
+                rel = con.sql(ORACLES[name])
+                oracle_cols, oracle_types = list(rel.columns), list(rel.types)
+                ddf = rel.df()
                 rec["oracle_rows"] = len(ddf)
                 rec["rows_match"] = len(spdf) == len(ddf)
-                rec["schema_match"] = sorted(spdf.columns) == sorted(ddf.columns)
+                bad_types = dtype_mismatches(spark_dtypes, oracle_cols, oracle_types)
+                if bad_types:
+                    rec["dtype_mismatches"] = bad_types
+                rec["schema_match"] = (
+                    sorted(spdf.columns) == sorted(ddf.columns) and not bad_types
+                )
                 rec["hash_match"] = (
                     rec["rows_match"]
                     and rec["schema_match"]
