@@ -188,7 +188,14 @@ def minhash_band_index(
     Measured (r7, interleaved A/B on local[32], incremental-dedup
     shape): wash at sf0.1, ~5% faster at sf1 (6.50 vs 6.85 s) — and
     the win grows with corpus size since the avoided recompute is a
-    full corpus scan+shingle+128-slot-min pass."""
+    full corpus scan+shingle+128-slot-min pass.
+
+    Caching contract: the persist is NOT released by this function
+    (the returned tables are lazy; the cache must outlive the
+    caller's final action). Long-lived sessions indexing many corpora
+    should ``signatures.unpersist()`` when done with both tables, or
+    pass ``persist=False`` and manage caching themselves — the bench
+    harness instead clears the session cache between queries."""
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands

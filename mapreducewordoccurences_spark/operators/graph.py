@@ -287,7 +287,15 @@ def triangle_count_approx(
         n_nodes.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(totals.select("n_wedges")))
         .crossJoin(F.broadcast(est))
-        .select("n_nodes", "n_edges", "n_wedges", "n_sampled", "est_triangles")
+        .select(
+            "n_nodes",
+            "n_edges",
+            # A wedge-free graph (every degree <= 1) aggregates empty
+            # frames to NULL; the contract is est == 0 there.
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("est_triangles", F.lit(0.0)).alias("est_triangles"),
+        )
     )
 
 

@@ -160,9 +160,12 @@ def main() -> int:
             for q in HEADLINE:
                 for child in order:
                     r = child.run(q)
-                    if "sec" in r:
-                        results[q][child.label].append(r["sec"])
-                    else:
+                    # One slot PER REP (None on error): pairing by index
+                    # must mean same-rep, or a single early failure shifts
+                    # every later "pair" onto different reps and corrupts
+                    # the drift-immune paired statistic.
+                    results[q][child.label].append(r.get("sec"))
+                    if "sec" not in r:
                         print(f"{child.label} {q}: {r.get('err')}", file=sys.stderr)
             print(f"rep {rep + 1}/{reps} done", file=sys.stderr, flush=True)
     finally:
@@ -171,13 +174,20 @@ def main() -> int:
 
     rows = []
     for q in HEADLINE:
-        ra, rb = results[q]["A"], results[q]["B"]
-        if not ra or not rb:
+        # pair only reps where BOTH sides succeeded
+        pairs = [
+            (x, y)
+            for x, y in zip(results[q]["A"], results[q]["B"])
+            if x is not None and y is not None
+        ]
+        ra = [x for x, _ in pairs]
+        rb = [y for _, y in pairs]
+        if not pairs:
             rows.append({"query": q, "err": "missing on one side"})
             continue
         # min-vs-min mirrors the bench protocol; paired median delta is
         # the drift-immune statistic (same-rep pairs share host state)
-        deltas = sorted(y - x for x, y in zip(ra, rb))
+        deltas = sorted(y - x for x, y in pairs)
         rows.append(
             {
                 "query": q,

@@ -112,6 +112,13 @@ def main() -> int:
     )
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    unknown_ops = [
+        n for n in probes if n.startswith("op:") and n not in PROBE_ONLY_OPS
+    ]
+    if unknown_ops:
+        raise SystemExit(
+            f"unknown op-probe(s) {unknown_ops}; known: {sorted(PROBE_ONLY_OPS)}"
+        )
     for name in probes:
         fn = PROBE_ONLY_OPS.get(name) or QUERIES[name]
         times: dict[str, float] = {}
