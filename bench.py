@@ -176,6 +176,10 @@ EXTRA = [
     "media_audio_stats",
     "dsir_importance_weights",
     "repetition_filter_stats",
+    # round-8 additions
+    "triangles_planted_acceptance",
+    "mmr_diversified_topk",
+    "matryoshka_prefix_recall",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

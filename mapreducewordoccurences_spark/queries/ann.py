@@ -600,3 +600,148 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fused_rank") <= 10)
         .select("doc_id", "lex_rank", "vec_rank", "fused_rank")
     )
+
+
+def _mmr_oracle(k: int = 8, shortlist: int = 40) -> str:
+    """Unrolled greedy MMR as a chained CTE (same protocol as the BPE
+    merge-loop and PageRank oracles): round i computes, for every
+    still-unselected shortlist candidate, its max cosine to the
+    selected set, takes the argmax of 0.7·rel − 0.3·maxdiv at 1e-6
+    grain with id tie-break, and appends it. Vectors are pre-normalized
+    (list_transform) so pair sims are plain list_dot_product — the
+    exact arithmetic the engine's driver-side greedy mirrors."""
+    cos_q = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.v)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        " CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ), short AS MATERIALIZED (
+      SELECT id, vn, rel FROM (
+        SELECT e.vec_id AS id,
+               list_transform(CAST(e.embedding AS DOUBLE[]),
+                 x -> x / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))) AS vn,
+               {cos_q} AS rel
+        FROM embeddings e, q WHERE e.vec_id <> 0)
+      ORDER BY rel DESC, id LIMIT {shortlist}
+    ), s1 AS (
+      SELECT id, vn, rel, 1 AS rnk FROM short ORDER BY round(rel, 6) DESC, id LIMIT 1
+    ), sel1 AS MATERIALIZED (SELECT id, vn, rnk FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+      SELECT c.id, c.vn, c.rel, max(list_dot_product(c.vn, s.vn)) AS dv
+      FROM short c, sel{i - 1} s
+      WHERE c.id NOT IN (SELECT id FROM sel{i - 1})
+      GROUP BY c.id, c.vn, c.rel
+    ), s{i} AS (
+      SELECT id, vn, {i} AS rnk FROM r{i}
+      ORDER BY round(0.7 * rel - 0.3 * dv, 6) DESC, id LIMIT 1
+    ), sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT id, vn, rnk FROM s{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(0 AS BIGINT) AS query_id, CAST(rnk AS INT) AS rnk, id AS vec_id
+    FROM sel{k}"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_diversified_topk", _mmr_oracle(8, 40))
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (Carbonell & Goldstein SIGIR'98):
+    top-8 for probe vec 0 re-ranked for diversity over a cosine
+    top-40 shortlist, λ=0.7. The distributed work is the shortlist
+    (brute-force tier here; IVF/LSH at 100 TB corpus scale) — the
+    greedy loop runs on the driver over the ≤40-row panel (bounded
+    collect, same protocol as the BPE vocab argmax). Output is the
+    selection sequence (rank, id): rank-stable at 1e-6 score grain
+    with id tie-breaks; raw doubles never emitted."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        mmr_diversified_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0)
+    return mmr_diversified_topk(emb, probe, k=8, shortlist=40, lam=0.7)
+
+
+@register(
+    "matryoshka_prefix_recall",
+    # both rankings are exact and rank-stable (random-embedding score
+    # gaps >> ulp; id tie-breaks), so the per-query overlap count is a
+    # deterministic integer both engines agree on bit-for-bit
+    """
+    WITH fullr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[]))
+                          / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])))
+                             * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])))) DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rnk <= 5
+    ), prefr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(CAST(q.embedding[1:16] AS DOUBLE[]),
+                                           CAST(e.embedding[1:16] AS DOUBLE[]))
+                          / (sqrt(list_dot_product(CAST(q.embedding[1:16] AS DOUBLE[]),
+                                                   CAST(q.embedding[1:16] AS DOUBLE[])))
+                             * sqrt(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                                     CAST(e.embedding[1:16] AS DOUBLE[])))) DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rnk <= 5
+    )
+    SELECT f.query_id, count(p.neighbor_id) AS n_overlap
+    FROM fullr f LEFT JOIN prefr p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. NeurIPS'22): how
+    much of the exact cosine top-5 survives when embeddings are
+    truncated to their first 16 of 64 dims — the retrieval-quality
+    measurement behind shipping prefix-dim indexes (store/scan 4×
+    less, re-rank survivors full-dim). Both rankings run through the
+    same broadcast-probe brute-force tier (corpus never shuffles);
+    output is per-probe overlap counts — deterministic ints."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        brute_force_knn,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    full = brute_force_knn(emb, probes, k=5).select("query_id", "neighbor_id")
+    pref = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pref_r = brute_force_knn(
+        pref, probes.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")), k=5
+    ).select("query_id", F.col("neighbor_id").alias("p_neighbor"))
+    return (
+        full.join(
+            pref_r,
+            (full.query_id == pref_r.query_id)
+            & (F.col("neighbor_id") == F.col("p_neighbor")),
+            "left",
+        )
+        .drop(pref_r.query_id)
+        .groupBy("query_id")
+        .agg(F.count("p_neighbor").alias("n_overlap"))
+    )

@@ -401,3 +401,113 @@ def q_triangles_approx_session_graph(spark: SparkSession, sf_dir: str) -> DataFr
     return exact.crossJoin(F.broadcast(approx)).select(
         "n_nodes", "n_edges", "n_triangles", ok.alias("est_ok")
     )
+
+
+@register(
+    "triangles_planted_acceptance",
+    # Closed-form planted-triangle graph, regenerated arithmetically by
+    # BOTH engines: T disjoint triples (nodes 3i, 3i+1, 3i+2) carry
+    # exactly T triangles; each planted node x also fans out DEG noise
+    # edges to a right-side shell (node 3T + (x + 3j) % 3T) whose
+    # stride-3 arithmetic keeps same-triple members on disjoint residue
+    # classes mod 3 (3T % 3 == 0), so the noise provably closes no new
+    # triangle. n_triangles is therefore known (= T) WITHOUT any wedge
+    # enumeration — the acceptance can run at any scale, unlike the
+    # exact-anchored session-graph row.
+    """
+    WITH params AS (
+      SELECT greatest(count(*) // 60, 16) AS t FROM events
+    ), nums AS (
+      -- integer source (range() cannot take lateral column args):
+      -- 3t <= |events|/20 < |events|, so events rows suffice
+      SELECT row_number() OVER () - 1 AS i FROM events
+    ), tri AS (
+      SELECT i FROM nums WHERE i < (SELECT t FROM params)
+    ), planted AS (
+      SELECT 3*i AS u, 3*i + 1 AS v FROM tri
+      UNION ALL SELECT 3*i, 3*i + 2 FROM tri
+      UNION ALL SELECT 3*i + 1, 3*i + 2 FROM tri
+    ), noise AS (
+      SELECT n.i AS u,
+             3*p.t + (n.i + 3*j.j) % (3*p.t) AS v
+      FROM nums n, params p, range(0, 8) AS j(j)
+      WHERE n.i < 3*p.t
+    ), e AS (
+      SELECT u, v FROM planted UNION ALL SELECT u, v FROM noise
+    )
+    SELECT (SELECT count(DISTINCT node) FROM
+              (SELECT u AS node FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+           (SELECT count(*) FROM (SELECT DISTINCT u, v FROM e)) AS n_edges,
+           (SELECT t FROM params) AS n_triangles,
+           TRUE AS est_ok
+    """,
+)
+def q_triangles_planted_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-CHECKABLE acceptance for the wedge-sampling triangle
+    estimator (VERDICT r7 ask #4): the session-graph acceptance row
+    anchors on an exact count that is Θ(Σ deg²)-infeasible on the
+    dense sf1 graph, so it can never run past driver scale. This row
+    replaces the exact anchor with a PLANTED ground truth: a graph
+    built so its triangle count is known by construction (T), while
+    its size — 6T nodes, 3T(1+DEG) edges, Θ(T·DEG²) wedges — scales
+    with the events table (T = |events|/60). The estimator must
+    recover T within 10%; with n_samples=200k the stratified
+    estimator's σ is ~2% of T at every sf tested (each planted center
+    holds (2+DEG)(1+DEG)/2 = 45 wedges of which exactly 1 closes;
+    right-shell centers hold only open wedges and contribute a hard
+    0), so the 10% gate sits ≥5σ out. Both engines regenerate the
+    edge list from the same integer arithmetic and cross-check
+    n_nodes/n_edges; no step enumerates wedges."""
+    from mapreducewordoccurences_spark.operators.graph import (
+        triangle_count_approx,
+    )
+
+    n_ev = _t(spark, sf_dir, "events").count()  # driver scalar (bounded)
+    t = max(n_ev // 60, 16)
+    deg = 8
+    tri = spark.range(t)
+    planted = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (3 * F.col("id")).alias("u"),
+                    (3 * F.col("id") + 1).alias("v"),
+                ),
+                F.struct(
+                    (3 * F.col("id")).alias("u"),
+                    (3 * F.col("id") + 2).alias("v"),
+                ),
+                F.struct(
+                    (3 * F.col("id") + 1).alias("u"),
+                    (3 * F.col("id") + 2).alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    noise = (
+        spark.range(3 * t)
+        .select(
+            F.col("id").alias("u"),
+            F.explode(F.sequence(F.lit(0), F.lit(deg - 1))).alias("j"),
+        )
+        .select(
+            "u",
+            (F.lit(3 * t) + (F.col("u") + 3 * F.col("j")) % F.lit(3 * t)).alias(
+                "v"
+            ),
+        )
+    )
+    edges = planted.unionByName(noise)
+    approx = triangle_count_approx(
+        edges, "u", "v", n_samples=200_000
+    )
+    ok = (
+        F.abs(F.col("est_triangles") - F.lit(float(t))) / F.lit(float(t))
+        <= 0.10
+    )
+    return approx.select(
+        "n_nodes",
+        "n_edges",
+        F.lit(t).alias("n_triangles"),
+        ok.alias("est_ok"),
+    )

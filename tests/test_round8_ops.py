@@ -125,3 +125,94 @@ class TestGlobalNtile:
                     ln for ln in b.splitlines() if ln.startswith("Input")
                 )
                 assert "__gr_n" in inp, f"global window over scan:\n{b}"
+
+
+class TestMmr:
+    def test_rank1_is_most_relevant_and_subset_of_shortlist(self, spark):
+        from mapreducewordoccurences_spark.functions.similarity import (
+            brute_force_knn,
+            mmr_diversified_topk,
+        )
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        probe = emb.where(F.col("vec_id") == 0)
+        got = mmr_diversified_topk(emb, probe, k=8, shortlist=40).collect()
+        assert len(got) == 8
+        sl = brute_force_knn(emb, probe, k=40).collect()
+        sl_ids = {r["neighbor_id"] for r in sl}
+        top1 = min(sl, key=lambda r: r["rnk"])["neighbor_id"]
+        by_rank = {r["rnk"]: r["vec_id"] for r in got}
+        assert by_rank[1] == top1  # first pick is pure relevance
+        assert set(by_rank.values()) <= sl_ids
+        assert len(set(by_rank.values())) == 8  # no repeats
+
+    def test_penalizes_duplicates(self, spark):
+        """Two near-identical top-relevance vectors: pure top-2 takes
+        both; MMR with lambda=0.5 must separate them."""
+        q = [1.0, 0.0, 0.0, 0.0]
+        rows = [
+            (0, q),
+            (1, [0.99, 0.14, 0.0, 0.0]),     # near-dup of 2
+            (2, [0.99, 0.141, 0.001, 0.0]),  # near-dup of 1
+            (3, [0.6, -0.8, 0.0, 0.0]),      # diverse, lower relevance
+            (4, [0.5, 0.0, 0.86, 0.0]),      # diverse
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        from mapreducewordoccurences_spark.functions.similarity import (
+            mmr_diversified_topk,
+        )
+
+        probe = emb.where(F.col("vec_id") == 0)
+        got = {
+            r["rnk"]: r["vec_id"]
+            for r in mmr_diversified_topk(
+                emb, probe, k=3, shortlist=4, lam=0.5
+            ).collect()
+        }
+        assert got[1] == 1  # highest relevance (id tie-break)
+        assert got[2] != 2  # its near-dup is deferred, a diverse pick wins
+
+
+class TestMatryoshka:
+    def test_full_prefix_overlap_bounds(self, spark):
+        from mapreducewordoccurences_spark.queries import QUERIES
+
+        got = QUERIES["matryoshka_prefix_recall"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(got) == 10
+        for r in got:
+            assert 0 <= r["n_overlap"] <= 5
+
+    def test_identical_prefix_means_full_overlap(self, spark):
+        """If the ranking signal lives entirely in the first 16 dims,
+        truncation must preserve the top-k exactly — sanity-check the
+        slicing plumbing with such a corpus."""
+        import random
+
+        rnd = random.Random(7)
+        rows = [
+            (
+                i,
+                [rnd.uniform(-1, 1) for _ in range(16)] + [0.0] * 48,
+            )
+            for i in range(30)
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        from mapreducewordoccurences_spark.functions.similarity import (
+            brute_force_knn,
+        )
+
+        probes = emb.where(F.col("vec_id") < 3)
+        full = brute_force_knn(emb, probes, k=5).collect()
+        pref_emb = emb.select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+        )
+        pref = brute_force_knn(
+            pref_emb, probes.select(
+                "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+            ), k=5
+        ).collect()
+        f = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in full}
+        p = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in pref}
+        assert f == p

@@ -53,6 +53,10 @@ DEFAULT_PROBES = [
     "bpe_learn_merges",
     "dsir_importance_weights",
     "repetition_filter_stats",
+    # round-8 additions
+    "triangles_planted_acceptance",
+    "mmr_diversified_topk",
+    "matryoshka_prefix_recall",
 ]
 
 

@@ -30,6 +30,13 @@ Excluded by design:
   counting on top, so the scale-sensitive part of that pipeline stays
   sweep-covered.
 
+Round 8 (VERDICT r7 ask #5): the sweep now runs the FULL catalog
+minus a documented exclusion set, instead of a 27-name curated core —
+scale-dependent wrong answers (overflow, tie-breaks, caps that start
+binding) hide in the long tail. It also applies the same engine-level
+type-class gate as the sf0.01 sweep (Spark double vs oracle bigint =
+FAIL), mirroring the driver's type-sensitive value hash.
+
 Usage: python tools/sf1_oracle_sweep.py [round] [sf_dir] [out_path]
        SPARK_GRAFT_SWEEP_ONLY=q1,q2 ... — re-run just those queries
        and merge into an existing out_path (post-fix partial re-sweep;
@@ -47,35 +54,40 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.full_correctness_sweep import TABLES, values_match  # noqa: E402
+from tools.full_correctness_sweep import (  # noqa: E402
+    TABLES,
+    dtype_mismatches,
+    values_match,
+)
 
-HEAVY = [
-    "wordcount",
-    "q1_pricing_summary",
-    "q9_profit_by_nation_year",
-    "q18_large_order_customers",
-    "window_topk_orders_per_cust",
-    "rollup_orders",
-    "sessionize_events",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix_filter",
-    "dedup_containment",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "dedup_incremental_minhash",
-    "dedup_threshold_sensitivity",
-    "near_dedup_keepset",
-    "near_dedup_keepset_lsh",
-    "dedup_clusters",
-    "substring_dedup_spans",
-    "kcore_near_dup_docs",
-    "group_split_leakage_audit",
-    "bpe_learn_merges",
-    "embedding_cosine_topk",
-    "pagerank_event_transitions",
-    "degree_distribution_session_graph",
-]
+# Excluded at sf1 only, each with a reason (all remain gated at
+# sf0.01 by the full sweep / driver):
+EXCLUDE = {
+    # oracle replays integer k-means at the k the DERIVED rule yields
+    # at oracle scale (8); sf1 yields k=53 → the fixed CTE is stale
+    "semantic_dedup_clusters",
+    # O(n²) exact recall denominator — audit row for sampled slices
+    "semantic_dedup_recall_audit",
+    # batch-parity streaming rows: memory-sink materialization
+    # dominates at sf1 without adding verification value
+    "streaming_dedup_parity",
+    "streaming_interval_join_views_purchases",
+    "streaming_psi_monitor_batch",
+    "streaming_stateful_user_totals",
+    "streaming_static_enrich_nation_totals",
+    "streaming_wordcount_parity",
+    # ~13%-dense synthetic overlap graph: Θ(Σ deg²) ≈ 10¹⁰ wedges on
+    # both engines (data-shape pathology, see module docstring)
+    "triangles_session_overlap_users",
+    # anchors on that same infeasible exact count; its sf1-checkable
+    # replacement is triangles_planted_acceptance (closed-form T)
+    "triangles_approx_session_graph",
+    # pair-emitting session overlap: ~14M-row result at sf1 — the
+    # edge set itself, not an aggregate; compare cost is all pandas
+    # materialization (covered: degree_distribution_session_graph
+    # verifies the identical session+interval-join pipeline)
+    "overlapping_sessions_pairs",
+}
 
 
 def main() -> int:
@@ -89,7 +101,11 @@ def main() -> int:
     from mapreducewordoccurences_spark.session import get_spark
 
     only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
-    to_run = [q.strip() for q in only.split(",") if q.strip()] if only else list(HEAVY)
+    to_run = (
+        [q.strip() for q in only.split(",") if q.strip()]
+        if only
+        else sorted(n for n in QUERIES if n in ORACLES and n not in EXCLUDE)
+    )
     missing = [n for n in to_run if n not in QUERIES or n not in ORACLES]
     if missing:
         print(f"unknown queries: {missing}", file=sys.stderr)
@@ -131,20 +147,32 @@ def main() -> int:
         }
         try:
             t0 = time.perf_counter()
-            spdf = QUERIES[name](spark, sf_dir).toPandas()
+            sdf = QUERIES[name](spark, sf_dir)
+            spark_dtypes = sdf.dtypes
+            spdf = sdf.toPandas()
             rec["spark_sec"] = round(time.perf_counter() - t0, 3)
             rec["spark_rows"] = len(spdf)
             t0 = time.perf_counter()
-            ddf = con.sql(ORACLES[name]).df()
+            rel = con.sql(ORACLES[name])
+            oracle_cols, oracle_types = list(rel.columns), list(rel.types)
+            ddf = rel.df()
             rec["oracle_sec"] = round(time.perf_counter() - t0, 3)
             rec["oracle_rows"] = len(ddf)
             rec["rows_match"] = len(spdf) == len(ddf)
-            rec["schema_match"] = sorted(spdf.columns) == sorted(ddf.columns)
+            bad_types = dtype_mismatches(spark_dtypes, oracle_cols, oracle_types)
+            if bad_types:
+                rec["dtype_mismatches"] = bad_types
+            rec["schema_match"] = (
+                sorted(spdf.columns) == sorted(ddf.columns) and not bad_types
+            )
             rec["hash_match"] = (
                 rec["rows_match"] and rec["schema_match"] and values_match(spdf, ddf)
             )
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        # drop per-query persists (dedup indexes, edge sets) before the
+        # next entry — 220+ queries would otherwise accumulate cache
+        spark.catalog.clearCache()
         results[name] = rec
         print(f"{name}: {'green' if rec['hash_match'] else 'FAIL'} "
               f"(spark {rec['spark_sec']}s, duck {rec['oracle_sec']}s)",
