@@ -337,9 +337,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_upsert_orders",
     # synthetic CDC batch derived deterministically from orders:
     # key%7=0 rows get two versioned updates (v2 wins), key%11=0 rows
-    # are tombstoned, and shifted keys insert as new rows
+    # are tombstoned, and shifted keys insert as new rows. The insert
+    # shift is max(key)+1 — data-derived, so NEW keys stay disjoint
+    # from live keys at EVERY scale (a fixed 1000000 shift collided
+    # with real keys at sf1, making latest-per-key tie-dependent —
+    # caught by the r8 full-catalog sf1 sweep)
     """
-    WITH upd AS (
+    WITH mx AS (SELECT max(o_orderkey) + 1 AS shift FROM orders),
+    upd AS (
       SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
              o_totalprice + 1000 AS o_totalprice, 1 AS v, FALSE AS del
       FROM orders WHERE o_orderkey % 7 = 0
@@ -350,7 +355,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_custkey, 'DEL', o_totalprice, 1, TRUE
       FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
       UNION ALL
-      SELECT o_orderkey + 1000000, o_custkey, 'NEW', 42.0, 1, FALSE
+      SELECT o_orderkey + (SELECT shift FROM mx), o_custkey, 'NEW', 42.0, 1, FALSE
       FROM orders WHERE o_orderkey % 13 = 0
     ), latest AS (
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, del
@@ -376,6 +381,9 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    # data-derived insert shift (driver scalar, bounded): NEW keys must
+    # stay disjoint from live keys at every scale — see oracle comment
+    shift = orders.agg(F.max("o_orderkey")).first()[0] + 1
     k = F.col("o_orderkey")
     upd = (
         orders.where(k % 7 == 0)
@@ -409,7 +417,7 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             orders.where(k % 13 == 0).select(
-                (k + 1_000_000).alias("o_orderkey"),
+                (k + F.lit(shift)).alias("o_orderkey"),
                 "o_custkey",
                 F.lit("NEW").alias("o_orderstatus"),
                 F.lit(42.0).alias("o_totalprice"),
