@@ -102,3 +102,30 @@ def plan_audit(df: DataFrame) -> dict:
         "codegen_spans": codegen_spans(df),
         "read_schemas": read_schema_columns(df),
     }
+
+
+def global_window_inputs(df: DataFrame) -> list[str]:
+    """The ``Input`` line of every UNPARTITIONED Window node in the
+    plan (empty list = no single-partition windows).
+
+    A Window node's ``Arguments`` carry [functions], [partition cols],
+    [order] when partitioned but only [functions], [order] when global
+    — so the top-level list separator ``], [`` appears twice vs once.
+    Callers (the catalog-wide plan audit) match the returned Input
+    lines against known config-bounded axes: a global window is only
+    acceptable over an aggregate whose row count is bounded by
+    configuration or algebra (partition counts, frequency classes,
+    percentile grids), never over a scan of a scaling table.
+    """
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for block in re.split(r"^\(\d+\) ", plan, flags=re.MULTILINE):
+        if not block.startswith("Window"):
+            continue
+        lines = block.splitlines()
+        args = next((ln for ln in lines if ln.startswith("Arguments:")), "")
+        if args.count("], [") == 1:  # global (no partition spec)
+            out.append(
+                next((ln for ln in lines if ln.startswith("Input")), "")
+            )
+    return out
