@@ -120,12 +120,24 @@ def global_window_inputs(df: DataFrame) -> list[str]:
     plan = formatted_plan(df)
     out: list[str] = []
     for block in re.split(r"^\(\d+\) ", plan, flags=re.MULTILINE):
-        if not block.startswith("Window"):
-            continue
         lines = block.splitlines()
+        # exact node-name match: "WindowGroupLimit" (partial top-k,
+        # always partitioned) must not count
+        if not lines or lines[0].strip() != "Window":
+            continue
         args = next((ln for ln in lines if ln.startswith("Arguments:")), "")
-        if args.count("], [") == 1:  # global (no partition spec)
-            out.append(
-                next((ln for ln in lines if ln.startswith("Input")), "")
-            )
+        # Arguments carry [functions], [partition], [order] — but both
+        # the partition and order lists are omitted when empty, so the
+        # top-level list count alone is ambiguous at 2: it's either
+        # global+ordered ([funcs], [order]) or partitioned+unordered
+        # ([funcs], [partition]). Order lists always carry ASC/DESC
+        # markers; partition lists never do.
+        n_lists = args.count("], [") + 1
+        if n_lists >= 3:
+            continue  # partitioned (+ordered)
+        if n_lists == 2:
+            last = args.rsplit("], [", 1)[-1]
+            if " ASC" not in last and " DESC" not in last:
+                continue  # partitioned, no order — not global
+        out.append(next((ln for ln in lines if ln.startswith("Input")), ""))
     return out

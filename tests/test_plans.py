@@ -435,3 +435,69 @@ def test_hybrid_rrf_topk_and_semantic_dedup_plan_shapes(spark):
     sp = formatted_plan(sd)
     assert "CartesianProduct" not in sp
     assert not has_python_eval(sd)
+
+
+# Queries whose plans legitimately contain an UNPARTITIONED Window —
+# each must run over a config/algebra-bounded axis, never a scaling
+# table. Keyed by query name; the value names the bounded axis (and is
+# checked against the window's Input line where a marker column makes
+# that possible). Any catalog query with a global window NOT listed
+# here fails the audit — the regression this guards against is exactly
+# the pre-r8 ntile_customer_value_quartiles shape.
+GLOBAL_WINDOW_BOUNDED = {
+    # distributed global_rank: cumulative offsets over one row per
+    # range partition (#partitions rows, config-bounded)
+    "ntile_customer_value_quartiles": "__gr_n",
+    # rank window sits ABOVE TakeOrderedAndProject (Catalyst pushes
+    # the limit through the rank filter) — input <= top-k rows
+    "bm25_topk_docs": None,
+    # post-limit shortlists: lex top-50 / vec top-50 / fused <= 100
+    "hybrid_rrf_retrieval": None,
+    # kmeans/codebook seed selection: orderBy(id).limit(nlist) BEFORE
+    # the row_number window — input bounded at nlist rows
+    "embedding_pq_topk": None,
+    # fixed histogram / bucket / CDF-grid axes
+    "bucketed_auc_embeddings": None,
+    "ks_price_drift": None,
+    "psi_price_drift": None,
+    "pareto_price_buckets": None,
+    "quantile_merge_daily_value": None,
+    # calendar axes (days/months — thousands of rows at any sf)
+    "cusum_daily_value_shift": None,
+    "monthly_revenue_growth": None,
+    # enum-sized dimension axes (langs, sources, regions, nations)
+    "chi2_lang_source": None,
+    "rollup_share_of_parent": None,
+    "source_mix_weights": None,
+    # frequency-class axis (<= sqrt(2 tokens) rows)
+    "zipf_slope_vocabulary": None,
+}
+
+
+def test_catalog_global_windows_only_on_bounded_axes(spark):
+    """Catalog-wide audit: every UNPARTITIONED Window node must sit
+    over a config- or algebra-bounded axis. A global window over a
+    scaling table single-partitions the whole input — the shape the
+    distributed global_rank/global_ntile operators exist to avoid."""
+    from mapreducewordoccurences_spark.plans.explain import (
+        global_window_inputs,
+    )
+
+    offenders = []
+    for name in sorted(QUERIES):
+        try:
+            inputs = global_window_inputs(q(spark, name))
+        except Exception as e:  # plan construction must succeed
+            offenders.append(f"{name}: {type(e).__name__}")
+            continue
+        if not inputs:
+            continue
+        if name not in GLOBAL_WINDOW_BOUNDED:
+            offenders.append(f"{name}: unlisted global window: {inputs}")
+            continue
+        marker = GLOBAL_WINDOW_BOUNDED[name]
+        if marker and not any(marker in ln for ln in inputs):
+            offenders.append(
+                f"{name}: expected bounded-axis marker {marker!r} in {inputs}"
+            )
+    assert not offenders, offenders
