@@ -180,6 +180,8 @@ EXTRA = [
     "triangles_planted_acceptance",
     "mmr_diversified_topk",
     "matryoshka_prefix_recall",
+    "contribution_cap_per_source",
+    "vocab_coverage_topn",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

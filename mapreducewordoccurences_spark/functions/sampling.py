@@ -335,3 +335,33 @@ def dsir_log_weights(
         )
         .select(F.col("__id").alias(id_col), "dsir_logw", "n_grams")
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Contribution capping: keep at most ``cap`` rows per key,
+    chosen by deterministic hash order (md5 of the id, id tiebreak) —
+    the per-author/per-domain bounding step training pipelines apply
+    so no single source dominates the mixture (and the
+    contribution-bounding primitive of DP-style pipelines; C4 capped
+    per-URL, Llama recipes cap per-domain).
+
+    Same rank-filter shape as stratified_sample: one shuffle on the
+    key; Catalyst turns the rank filter into WindowGroupLimit, so each
+    map task forwards at most ``cap`` rows per key before the shuffle
+    — heavy keys never concentrate on one reducer beyond cap rows.
+    Hash order (not "first N in storage order") keeps the kept set
+    stable under repartitioning and incremental appends."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.concat(F.lit(salt), _c(id_col).cast("string"))), _c(id_col)
+    )
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .where(F.col("__cap_rn") <= cap)
+        .drop("__cap_rn")
+    )

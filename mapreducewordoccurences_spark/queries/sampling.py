@@ -504,3 +504,48 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam=1.0,
         portable=True,
     )
+
+
+@register(
+    "contribution_cap_per_source",
+    # deterministic hash-order cap: same md5(doc_id) ordering both
+    # engines, so the KEPT SET is identical, not just its size
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE rn <= 20) AS n_kept,
+           CAST(sum(CASE WHEN rn <= 20 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM ranked GROUP BY source
+    """,
+)
+def q_contribution_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution capping (C4 per-URL / Llama per-domain bounding):
+    at most 20 documents per source, chosen by deterministic hash
+    order so the kept set is append-stable and engine-portable. The
+    kept_id_sum column makes the oracle check the exact KEPT SET, not
+    just its cardinality. Plan: one source-keyed shuffle; the rank
+    filter lowers to WindowGroupLimit so heavy sources forward at
+    most cap rows per map task (functions/sampling.py cap_per_key)."""
+    from mapreducewordoccurences_spark.functions.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        cap_per_key(docs, "source", 20)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )
+    # both sides are per-source aggregates (enum-sized); the fact table
+    # shuffles once, inside the cap
+    return totals.join(kept, "source")

@@ -1195,3 +1195,78 @@ def q_repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.functions.text import gopher_repetition_stats
 
     return gopher_repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_coverage_topn",
+    # coverage is exact int/int division (one correctly-rounded double
+    # per row), so it hash-matches across engines
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS f FROM tok GROUP BY w
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rn FROM freq
+    ), tot AS (
+      SELECT sum(f) AS total_tokens, count(*) AS vocab_size FROM freq
+    )
+    SELECT n.top_n,
+           t.vocab_size,
+           CAST(COALESCE(SUM(r.f) FILTER (WHERE r.rn <= n.top_n), 0)
+                AS BIGINT) AS covered_tokens,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           COALESCE(SUM(r.f) FILTER (WHERE r.rn <= n.top_n), 0)
+             / CAST(t.total_tokens AS DOUBLE) AS coverage
+    FROM (VALUES (10), (100), (1000)) AS n(top_n)
+    CROSS JOIN tot t CROSS JOIN ranked r
+    GROUP BY n.top_n, t.vocab_size, t.total_tokens
+    """,
+)
+def q_vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (the tokenizer-design measurement:
+    what fraction of token OCCURRENCES the top-N vocabulary covers —
+    the OOV-rate complement at candidate vocab sizes 10/100/1000).
+    Plan: one corpus scan → word-count aggregate (map-side combine);
+    the rank runs over the VOCABULARY axis — for the top-N cut this
+    is orderBy(freq).limit(N) per N (TakeOrderedAndProject, never a
+    global sort of the vocab; at web scale the vocab is 10^8-10^9
+    rows and the N cuts are fixed constants), then the covered sums
+    are N-row aggregates broadcast against the 1-row total."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tot = freq.agg(
+        F.sum("f").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    parts = []
+    for n in (10, 100, 1000):
+        top = freq.orderBy(F.col("f").desc(), F.col("w")).limit(n)
+        cov = top.agg(
+            F.coalesce(F.sum("f"), F.lit(0)).cast("bigint").alias("covered_tokens")
+        )
+        parts.append(
+            cov.crossJoin(F.broadcast(tot)).select(
+                F.lit(n).alias("top_n"),
+                "vocab_size",
+                "covered_tokens",
+                "total_tokens",
+                (
+                    F.col("covered_tokens")
+                    / F.col("total_tokens").cast("double")
+                ).alias("coverage"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -216,3 +216,52 @@ class TestMatryoshka:
         f = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in full}
         p = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in pref}
         assert f == p
+
+
+class TestCapPerKey:
+    def test_cap_binds_and_is_repartition_stable(self, spark):
+        from mapreducewordoccurences_spark.functions.sampling import (
+            cap_per_key,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", "source"
+        )
+        kept = cap_per_key(docs, "source", 20)
+        per = {r["source"]: r["n"] for r in
+               kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert all(v <= 20 for v in per.values())
+        assert max(per.values()) == 20  # 25 docs/source at sf0.01: binds
+        # kept SET (not just size) must not depend on physical layout
+        a = {tuple(r) for r in kept.collect()}
+        b = {tuple(r) for r in cap_per_key(docs.repartition(13), "source", 20).collect()}
+        assert a == b
+
+    def test_plan_uses_window_group_limit(self, spark):
+        from mapreducewordoccurences_spark.functions.sampling import (
+            cap_per_key,
+        )
+        from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        plan = formatted_plan(cap_per_key(docs, "source", 5))
+        assert "WindowGroupLimit" in plan  # map-side cap before shuffle
+
+
+class TestVocabCoverage:
+    def test_monotone_and_bounded(self, spark):
+        from mapreducewordoccurences_spark.queries import QUERIES
+
+        rows = {
+            r["top_n"]: r
+            for r in QUERIES["vocab_coverage_topn"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(rows) == {10, 100, 1000}
+        cov = [rows[n]["coverage"] for n in (10, 100, 1000)]
+        assert cov == sorted(cov)  # coverage grows with N
+        assert all(0.0 < c <= 1.0 for c in cov)
+        for n, r in rows.items():
+            if r["vocab_size"] <= n:
+                assert r["covered_tokens"] == r["total_tokens"]
