@@ -182,6 +182,7 @@ EXTRA = [
     "matryoshka_prefix_recall",
     "contribution_cap_per_source",
     "vocab_coverage_topn",
+    "semantic_dedup_clusters_fixedk",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

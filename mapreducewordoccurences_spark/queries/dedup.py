@@ -945,3 +945,49 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_cell_size=150,
         min_recall=0.15,
     ).select("n_vectors", "k_cells", "n_exact_pairs", "recall_ok")
+
+
+@register(
+    "semantic_dedup_clusters_fixedk",
+    # identical oracle to semantic_dedup_clusters — the unrolled
+    # integer k-means CTE is k=8 by construction, and THIS row pins
+    # the engine to k=8 too, so the contract holds at EVERY scale
+    # (the derived-k row's oracle is only valid where the rule
+    # resolves to 8, which is why it is excluded from the sf1 sweep).
+    _KMEANS_A2_CTE
+    + """
+    , pr AS (
+      SELECT x.cluster_id, y.vec_id AS ib
+      FROM a2 x JOIN a2 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      JOIN embeddings ea ON ea.vec_id = x.vec_id
+      JOIN embeddings eb ON eb.vec_id = y.vec_id
+      WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) >= 0.4
+    ), drp AS (SELECT DISTINCT cluster_id, ib FROM pr)
+    SELECT m.cluster_id,
+           count(*) AS n_members,
+           CAST(count(d.ib) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.ib) AS BIGINT) AS n_kept
+    FROM a2 m LEFT JOIN drp d ON d.cluster_id = m.cluster_id AND d.ib = m.vec_id
+    GROUP BY m.cluster_id
+    """,
+)
+def q_semantic_dedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at PINNED k=8 — the scale-verification companion to
+    semantic_dedup_clusters (which derives k ∝ n, the production
+    sizing, but whose unrolled oracle is therefore only valid at the
+    sf where the rule yields 8). Pinning k makes the engine↔oracle
+    contract scale-invariant, so the whole SemDeDup pipeline (integer
+    k-means training, cell assignment, within-cell cosine, greedy
+    smaller-id survivorship) is now verified at sf1 rather than
+    excluded. Cell populations grow with n at fixed k — acceptable
+    for a verification row (Σ|c|² stays ≤ n²/k); production uses the
+    derived-k row's sizing."""
+    from mapreducewordoccurences_spark.dedup.embedding import (
+        semantic_dedup_profile,
+    )
+
+    return semantic_dedup_profile(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.4
+    )
