@@ -10,10 +10,12 @@ ask #5): run the ~25 heaviest / most scale-sensitive queries at
 compare as the driver (rows, schema, order-insensitive values) and
 write ``CORRECTNESS_sf1_r{N}.json``.
 
-Excluded by design:
+Excluded by design (see EXCLUDE below for the authoritative list):
 - ``semantic_dedup_clusters``: its oracle replays the integer k-means
   at the k the DERIVED rule yields at oracle scale (8); at sf1 the
-  rule yields k=53 and the fixed CTE is definitionally stale.
+  rule yields k=53 and the fixed CTE is definitionally stale. Since
+  r8 the family IS scale-verified via the pinned-k companion row
+  ``semantic_dedup_clusters_fixedk`` (swept green at sf1).
 - ``semantic_dedup_recall_audit``: O(n²) exact denominator — an audit
   row for sampled slices, not a 32M-pair sweep entry.
 - streaming rows: covered by their own batch-parity harness; the
@@ -27,8 +29,12 @@ Excluded by design:
   the operator's O(m^1.5) plan shape is audit-verified in PLANS.md).
   ``degree_distribution_session_graph`` exercises the identical
   session build + interval-overlap edge join at sf1 with linear
-  counting on top, so the scale-sensitive part of that pipeline stays
-  sweep-covered.
+  counting on top, and ``overlapping_sessions_pairs`` (un-excluded in
+  r8 after measurement) verifies the raw 14M-row pair set itself.
+- ``triangles_approx_session_graph``: anchors on that same infeasible
+  exact count; its sf1-checkable replacement is
+  ``triangles_planted_acceptance`` (closed-form planted truth, swept
+  green at sf1).
 
 Round 8 (VERDICT r7 ask #5): the sweep now runs the FULL catalog
 minus a documented exclusion set, instead of a 27-name curated core —
