@@ -966,10 +966,12 @@ def mmr_diversified_topk(
     k: int = 8,
     shortlist: int = 40,
     lam: float = 0.7,
+    mu: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     grain: int = 6,
+    shortlist_df: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
     diversified top-k: greedily pick the candidate maximizing
@@ -985,9 +987,38 @@ def mmr_diversified_topk(
     quantiles). Scores are compared at a 10^-grain grain with id
     tie-breaks so the selection sequence is reproducible across
     engines (random-embedding score gaps ≫ ulp; raw doubles are not
-    emitted)."""
+    emitted).
+
+    Cross-engine determinism of the grain compare (ADVICE r8): the
+    diversity weight is an EXPLICIT ``mu`` (defaults to ``1 - lam``;
+    pass the same decimal literal the oracle states, e.g. 0.3, so
+    the engine never scores with 0.30000000000000004 against an
+    oracle scoring with 0.3), and grain rounding is
+    ``floor(x·10^grain + 0.5)`` on BOTH engines — half-up toward
+    +inf, identical for every float, where Python's ``round`` is
+    banker's and DuckDB's is half-away-from-zero (they disagree
+    exactly on the grain boundaries a near-tie can land on).
+
+    ``shortlist_df`` swaps in a precomputed shortlist — (query_id,
+    neighbor_id, sim) from any ANN tier (``ivf_knn``/``lsh_knn``) —
+    in place of the exact brute-force tier: the 100 TB path, where
+    the shortlist must come from an index scan rather than a full
+    corpus pass. The greedy phase is identical either way.
+
+    Zero-norm embeddings in the shortlist are SKIPPED (their cosine
+    is undefined upstream — the exact tier scores them NaN and never
+    ranks them; a raw injected shortlist could still carry one, and
+    normalizing would raise ZeroDivisionError on the driver)."""
     spark = corpus.sparkSession
-    sl = brute_force_knn(corpus, queries, shortlist, id_col, vec_col, query_id_col)
+    if mu is None:
+        mu = 1.0 - lam
+    sl = (
+        shortlist_df
+        if shortlist_df is not None
+        else brute_force_knn(
+            corpus, queries, shortlist, id_col, vec_col, query_id_col
+        )
+    )
     with_vec = sl.join(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
@@ -1002,26 +1033,33 @@ def mmr_diversified_topk(
             (r["neighbor_id"], float(r["sim"]), [float(x) for x in r["__v"]])
         )
 
+    scale = float(10**grain)
+
+    def _grain(x: float) -> int:
+        # half-up toward +inf on both engines (see docstring)
+        return math.floor(x * scale + 0.5)
+
     out: list[tuple[int, int, int]] = []
     for qid in sorted(by_q):
         cands = sorted(by_q[qid])  # deterministic id order
-        vn = {
-            cid: [x / math.sqrt(_seq_dot(v, v)) for x in v]
-            for cid, _, v in cands
-        }
-        rel = {cid: r for cid, r, _ in cands}
+        vn: dict[int, list[float]] = {}
+        rel: dict[int, float] = {}
+        for cid, r, v in cands:
+            nrm = math.sqrt(_seq_dot(v, v))
+            if nrm == 0.0:
+                continue  # cosine undefined — never a valid candidate
+            vn[cid] = [x / nrm for x in v]
+            rel[cid] = r
         # -inf, not 0: the oracle's max(sim-to-selected) is the true
         # max, which is negative when every pair-sim is negative
-        max_div: dict[int, float] = {
-            cid: float("-inf") for cid, _, _ in cands
-        }
+        max_div: dict[int, float] = {cid: float("-inf") for cid in rel}
         remaining = set(rel)
-        for rank in range(1, min(k, len(cands)) + 1):
+        for rank in range(1, min(k, len(rel)) + 1):
             if rank == 1:
-                key = lambda c: (round(rel[c], grain), -c)  # noqa: E731
+                key = lambda c: (_grain(rel[c]), -c)  # noqa: E731
             else:
                 key = lambda c: (  # noqa: E731
-                    round(lam * rel[c] - (1.0 - lam) * max_div[c], grain),
+                    _grain(lam * rel[c] - mu * max_div[c]),
                     -c,
                 )
             pick = max(sorted(remaining), key=key)

@@ -609,7 +609,12 @@ def _mmr_oracle(k: int = 8, shortlist: int = 40) -> str:
     selected set, takes the argmax of 0.7·rel − 0.3·maxdiv at 1e-6
     grain with id tie-break, and appends it. Vectors are pre-normalized
     (list_transform) so pair sims are plain list_dot_product — the
-    exact arithmetic the engine's driver-side greedy mirrors."""
+    exact arithmetic the engine's driver-side greedy mirrors. Grain
+    compare is floor(x·1e6 + 0.5) on BOTH engines (half-up toward
+    +inf — DuckDB's round() is half-away-from-zero and Python's is
+    banker's, so either round() could disagree with the other engine
+    exactly on a grain boundary; the engine passes mu=0.3 as the same
+    decimal literal this SQL states, never the float (1 − 0.7))."""
     cos_q = (
         "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.v)"
         " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
@@ -630,7 +635,8 @@ def _mmr_oracle(k: int = 8, shortlist: int = 40) -> str:
         FROM embeddings e, q WHERE e.vec_id <> 0)
       ORDER BY rel DESC, id LIMIT {shortlist}
     ), s1 AS (
-      SELECT id, vn, rel, 1 AS rnk FROM short ORDER BY round(rel, 6) DESC, id LIMIT 1
+      SELECT id, vn, rel, 1 AS rnk FROM short
+      ORDER BY floor(rel * 1000000 + 0.5) DESC, id LIMIT 1
     ), sel1 AS MATERIALIZED (SELECT id, vn, rnk FROM s1)"""
     ]
     for i in range(2, k + 1):
@@ -642,7 +648,7 @@ def _mmr_oracle(k: int = 8, shortlist: int = 40) -> str:
       GROUP BY c.id, c.vn, c.rel
     ), s{i} AS (
       SELECT id, vn, {i} AS rnk FROM r{i}
-      ORDER BY round(0.7 * rel - 0.3 * dv, 6) DESC, id LIMIT 1
+      ORDER BY floor((0.7 * rel - 0.3 * dv) * 1000000 + 0.5) DESC, id LIMIT 1
     ), sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT id, vn, rnk FROM s{i})"""
         )
     parts.append(
@@ -669,7 +675,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.where(F.col("vec_id") == 0)
-    return mmr_diversified_topk(emb, probe, k=8, shortlist=40, lam=0.7)
+    return mmr_diversified_topk(emb, probe, k=8, shortlist=40, lam=0.7, mu=0.3)
 
 
 @register(

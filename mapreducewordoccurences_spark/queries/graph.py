@@ -416,10 +416,20 @@ def q_triangles_approx_session_graph(spark: SparkSession, sf_dir: str) -> DataFr
     # exact-anchored session-graph row.
     """
     WITH params AS (
-      SELECT greatest(count(*) // 60, 16) AS t FROM events
+      -- the error() guard fails LOUDLY when |events| < 3t (possible
+      -- only on the t=16 floor branch with a <48-row custom fixture):
+      -- nums below draws its integers from events rows, so a
+      -- too-small fixture would otherwise silently under-generate
+      -- noise edges and surface as an opaque value mismatch
+      SELECT CASE
+               WHEN count(*) >= 3 * greatest(count(*) // 60, 16)
+               THEN greatest(count(*) // 60, 16)
+               ELSE error('planted-triangle oracle: |events| < 3t — fixture too small')
+             END AS t
+      FROM events
     ), nums AS (
-      -- integer source (range() cannot take lateral column args):
-      -- 3t <= |events|/20 < |events|, so events rows suffice
+      -- integer source (range() cannot take subquery bounds):
+      -- 3t <= |events| enforced by the params guard above
       SELECT row_number() OVER () - 1 AS i FROM events
     ), tri AS (
       SELECT i FROM nums WHERE i < (SELECT t FROM params)

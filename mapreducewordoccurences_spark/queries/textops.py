@@ -1228,13 +1228,18 @@ def q_vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve (the tokenizer-design measurement:
     what fraction of token OCCURRENCES the top-N vocabulary covers —
     the OOV-rate complement at candidate vocab sizes 10/100/1000).
-    Plan: one corpus scan → word-count aggregate (map-side combine);
-    the rank runs over the VOCABULARY axis — for the top-N cut this
-    is orderBy(freq).limit(N) per N (TakeOrderedAndProject, never a
-    global sort of the vocab; at web scale the vocab is 10^8-10^9
-    rows and the N cuts are fixed constants), then the covered sums
-    are N-row aggregates broadcast against the 1-row total."""
+    Plan: one corpus scan → word-count aggregate (map-side combine),
+    PERSISTED (repo caching contract — two consumers below; the
+    harness clears cache between queries); the rank runs over the
+    VOCABULARY axis — ONE orderBy(freq).limit(max N) cut
+    (TakeOrderedAndProject, never a global sort of the vocab; at web
+    scale the vocab is 10^8-10^9 rows and the N cuts are fixed
+    constants), and all three covered sums are conditional aggregates
+    over that single ranked ≤1000-row frame (r8 ADVICE: the former
+    per-N cuts re-aggregated the corpus four times), broadcast
+    against the 1-row total."""
     docs = _t(spark, sf_dir, "documents")
+    cuts = (10, 100, 1000)
     freq = (
         docs.select(
             F.explode(
@@ -1243,30 +1248,58 @@ def q_vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
+        .persist()
     )
     tot = freq.agg(
         F.sum("f").cast("bigint").alias("total_tokens"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
-    parts = []
-    for n in (10, 100, 1000):
-        top = freq.orderBy(F.col("f").desc(), F.col("w")).limit(n)
-        cov = top.agg(
-            F.coalesce(F.sum("f"), F.lit(0)).cast("bigint").alias("covered_tokens")
+    # one TakeOrderedAndProject at the widest cut; rn re-ranks the
+    # bounded (<= max-N-row) frame, so the global window is over a
+    # config-bounded axis, not the vocab
+    ranked = (
+        freq.orderBy(F.col("f").desc(), F.col("w"))
+        .limit(max(cuts))
+        .select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), F.col("w")))
+            .alias("rn"),
         )
-        parts.append(
-            cov.crossJoin(F.broadcast(tot)).select(
-                F.lit(n).alias("top_n"),
-                "vocab_size",
-                "covered_tokens",
-                "total_tokens",
-                (
-                    F.col("covered_tokens")
-                    / F.col("total_tokens").cast("double")
-                ).alias("coverage"),
-            )
+    )
+    cov = ranked.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("rn") <= n, F.col("f"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"c{n}")
+            for n in cuts
+        ]
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).cast("int").alias("top_n"),
+                            F.col(f"c{n}").alias("covered_tokens"),
+                        )
+                        for n in cuts
+                    ]
+                )
+            ).alias("e"),
+            "vocab_size",
+            "total_tokens",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select(
+            F.col("e.top_n").alias("top_n"),
+            "vocab_size",
+            F.col("e.covered_tokens").alias("covered_tokens"),
+            "total_tokens",
+            (
+                F.col("e.covered_tokens")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -471,6 +471,9 @@ GLOBAL_WINDOW_BOUNDED = {
     "source_mix_weights": None,
     # frequency-class axis (<= sqrt(2 tokens) rows)
     "zipf_slope_vocabulary": None,
+    # rn re-rank of the single orderBy().limit(1000) vocab cut —
+    # input bounded at the widest fixed top-N, never the vocab axis
+    "vocab_coverage_topn": None,
 }
 
 

@@ -69,12 +69,22 @@ SF1_CORE = [
 ]
 
 
-def latest_sf1_record(repo_dir: str) -> str | None:
+def latest_sf1_record(repo_dir: str, before_round: int | None = None) -> str | None:
+    """Newest BENCH_sf1 artifact, optionally restricted to rounds
+    strictly BEFORE ``before_round`` — a re-run within the same round
+    must diff against the PRIOR round's artifact, not the file it is
+    about to overwrite (which would record a clean gate against
+    itself)."""
     best, best_n = None, -1
     for path in glob.glob(os.path.join(repo_dir, "BENCH_sf1_r*.json")):
         m = re.search(r"BENCH_sf1_r(\d+)", os.path.basename(path))
-        if m and int(m.group(1)) > best_n:
-            best, best_n = path, int(m.group(1))
+        if not m:
+            continue
+        n = int(m.group(1))
+        if before_round is not None and n >= before_round:
+            continue
+        if n > best_n:
+            best, best_n = path, n
     return best
 
 
@@ -139,17 +149,21 @@ def main() -> int:
         "cpus": 32,
         "errors": errors,
     }
-    prev_path = latest_sf1_record(repo_dir)
+    prev_path = latest_sf1_record(repo_dir, before_round=int(rnd))
     regressions: list[dict] = []
-    if prev_path and os.path.abspath(prev_path) != os.path.abspath(out_path):
+    compared = False
+    if prev_path:
         try:
             with open(prev_path) as f:
                 regressions = diff_records(json.load(f), record)
+            compared = True
         except (OSError, ValueError) as exc:
             print(f"bench_sf1: gate skipped: {exc}", file=sys.stderr)
     record["regressions"] = regressions
+    # None when nothing was actually compared — an empty regressions
+    # list must never masquerade as a clean gate with no baseline
     record["regressions_baseline"] = (
-        os.path.basename(prev_path) if prev_path else None
+        os.path.basename(prev_path) if compared else None
     )
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
