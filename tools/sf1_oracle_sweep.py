@@ -11,13 +11,11 @@ compare as the driver (rows, schema, order-insensitive values) and
 write ``CORRECTNESS_sf1_r{N}.json``.
 
 Excluded by design (see EXCLUDE below for the authoritative list):
-- ``semantic_dedup_clusters``: its oracle replays the integer k-means
-  at the k the DERIVED rule yields at oracle scale (8); at sf1 the
-  rule yields k=53 and the fixed CTE is definitionally stale. Since
-  r8 the family IS scale-verified via the pinned-k companion row
-  ``semantic_dedup_clusters_fixedk`` (swept green at sf1).
 - ``semantic_dedup_recall_audit``: O(n²) exact denominator — an audit
   row for sampled slices, not a 32M-pair sweep entry.
+  (``semantic_dedup_clusters`` itself was un-excluded in r9: its
+  oracle now derives k from the data with the same GREATEST(8,
+  n // 150) rule the engine runs, so it sweeps at k=53 here.)
 - streaming rows: covered by their own batch-parity harness; the
   memory-sink materialization dominates at sf1 without adding
   verification value.
@@ -69,9 +67,6 @@ from tools.full_correctness_sweep import (  # noqa: E402
 # Excluded at sf1 only, each with a reason (all remain gated at
 # sf0.01 by the full sweep / driver):
 EXCLUDE = {
-    # oracle replays integer k-means at the k the DERIVED rule yields
-    # at oracle scale (8); sf1 yields k=53 → the fixed CTE is stale
-    "semantic_dedup_clusters",
     # O(n²) exact recall denominator — audit row for sampled slices
     "semantic_dedup_recall_audit",
     # batch-parity streaming rows: memory-sink materialization
