@@ -95,31 +95,46 @@ def q_streaming_psi_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "streaming_wordcount_parity",
+    # the oracle recomputes the word counts relationally and reduces
+    # them to the same three-field digest: vocabulary size, total
+    # token count, and an order-insensitive sum-of-md5-folds over
+    # (word, cnt) — a count that streamed wrong in ANY row moves
+    # counts_hash, but no engine ever ships the vocab to the driver
     """
-    SELECT word, count(*) AS cnt FROM (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-      FROM documents
-    ) GROUP BY word
+    WITH counts AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+      ) GROUP BY word
+    )
+    SELECT count(*) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(concat('0x', substr(md5(word || '=' || cnt), 1, 15))
+                         AS BIGINT) % 1000000007) AS BIGINT) AS counts_hash
+    FROM counts
     """,
 )
 def q_streaming_wordcount_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's aggregation run through STRUCTURED STREAMING:
     documents stream in as one availableNow micro-batch, tokenize →
-    explode → stateful groupBy count, complete-mode memory sink; the
-    oracle recomputes relationally. A hash-match proves the streaming
-    stateful-aggregation path (source → state store → sink) computes
-    exactly what batch SQL says — the second oracle-checked streaming
-    row next to streaming_psi_monitor_batch (which covers
-    foreachBatch; this one covers the native state-store agg)."""
+    explode → stateful groupBy count, then foreachBatch writes the
+    counts to a parquet sink DISTRIBUTED (r9, VERDICT r8 ask #3: the
+    former complete-mode memory sink materialized the whole vocabulary
+    on the driver, which is what kept every streaming row out of the
+    sf1 sweep). The returned row is a three-field digest of the
+    read-back sink — (n_words, total_tokens, counts_hash), the hash an
+    order-insensitive modular sum of per-(word,cnt) md5 folds — so the
+    correctness contract still pins EVERY count while the driver only
+    ever sees one row at any scale. Covers the native state-store agg
+    next to streaming_psi_monitor_batch's foreachBatch-metrics path."""
     import shutil
     import tempfile
-    import uuid
 
     from mapreducewordoccurences_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="stream_wc_q_")
-    sink = f"wc_parity_{uuid.uuid4().hex[:8]}"
+    out_dir = f"{work}/counts"
     try:
         stream = (
             spark.readStream.schema(docs.schema)
@@ -131,18 +146,45 @@ def q_streaming_wordcount_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+
+        def write_counts(batch_df: DataFrame, _batch_id: int) -> None:
+            # complete-mode replay: each batch carries the full state,
+            # so overwrite is the idempotent sink contract
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
         q = (
-            counts.writeStream.format("memory")
-            .queryName(sink)
+            counts.writeStream.foreachBatch(write_counts)
             .outputMode("complete")
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-        out = spark.table(sink)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        fold = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("word"),
+                            F.lit("="),
+                            F.col("cnt").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1000000007)
+        )
+        agg = spark.read.parquet(out_dir).agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            F.sum(fold).cast("bigint").alias("counts_hash"),
+        )
+        rows = agg.collect()  # one row — materialize before cleanup
+        return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -15,10 +15,12 @@ Excluded by design (see EXCLUDE below for the authoritative list):
   row for sampled slices, not a 32M-pair sweep entry.
   (``semantic_dedup_clusters`` itself was un-excluded in r9: its
   oracle now derives k from the data with the same GREATEST(8,
-  n // 150) rule the engine runs, so it sweeps at k=53 here.)
-- streaming rows: covered by their own batch-parity harness; the
-  memory-sink materialization dominates at sf1 without adding
-  verification value.
+  n // 150) rule the engine runs, so it sweeps at k=53 here.
+  The six streaming rows were un-excluded in r9 too — wordcount
+  parity's memory sink became a foreachBatch parquet sink + digest
+  row, and measuring the remaining five showed 3-8 s each at sf1
+  with 1-15k-row results: the old "materialization dominates"
+  rationale did not survive measurement.)
 - ``triangles_session_overlap_users``: the synthetic sf1 event stream
   yields a ~13%-DENSE session-overlap graph (14.25M edges over 15k
   users — measured) where wedge enumeration is Θ(Σ deg²) ≈ 10¹⁰ on
@@ -69,14 +71,6 @@ from tools.full_correctness_sweep import (  # noqa: E402
 EXCLUDE = {
     # O(n²) exact recall denominator — audit row for sampled slices
     "semantic_dedup_recall_audit",
-    # batch-parity streaming rows: memory-sink materialization
-    # dominates at sf1 without adding verification value
-    "streaming_dedup_parity",
-    "streaming_interval_join_views_purchases",
-    "streaming_psi_monitor_batch",
-    "streaming_stateful_user_totals",
-    "streaming_static_enrich_nation_totals",
-    "streaming_wordcount_parity",
     # ~13%-dense synthetic overlap graph: Θ(Σ deg²) ≈ 10¹⁰ wedges on
     # both engines (data-shape pathology, see module docstring)
     "triangles_session_overlap_users",
