@@ -172,7 +172,6 @@ EXTRA = [
     "label_noise_knn_ivf",
     "group_split_leakage_audit",
     "sequence_packing_stats",
-    "triangles_approx_session_graph",
     "media_audio_stats",
     "dsir_importance_weights",
     "repetition_filter_stats",

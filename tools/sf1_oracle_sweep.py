@@ -21,20 +21,12 @@ Excluded by design (see EXCLUDE below for the authoritative list):
   row, and measuring the remaining five showed 3-8 s each at sf1
   with 1-15k-row results: the old "materialization dominates"
   rationale did not survive measurement.)
-- ``triangles_session_overlap_users``: the synthetic sf1 event stream
-  yields a ~13%-DENSE session-overlap graph (14.25M edges over 15k
-  users — measured) where wedge enumeration is Θ(Σ deg²) ≈ 10¹⁰ on
-  both engines — a data-shape pathology of uniformly-spread synthetic
-  events, not an operator defect (real concurrency graphs are sparse;
-  the operator's O(m^1.5) plan shape is audit-verified in PLANS.md).
-  ``degree_distribution_session_graph`` exercises the identical
-  session build + interval-overlap edge join at sf1 with linear
-  counting on top, and ``overlapping_sessions_pairs`` (un-excluded in
-  r8 after measurement) verifies the raw 14M-row pair set itself.
-- ``triangles_approx_session_graph``: anchors on that same infeasible
-  exact count; its sf1-checkable replacement is
-  ``triangles_planted_acceptance`` (closed-form planted truth, swept
-  green at sf1).
+(r9, VERDICT r8 ask #4: the two triangle exclusions are gone —
+``triangles_session_overlap_users`` now computes over a deterministic
+≈600-user panel, wedge-feasible on both engines at any sf and swept
+green here at sf1; the exact-anchored ``triangles_approx_session_graph``
+row was retired outright, superseded by
+``triangles_planted_acceptance``'s closed-form planted truth.)
 
 Round 8 (VERDICT r7 ask #5): the sweep now runs the FULL catalog
 minus a documented exclusion set, instead of a 27-name curated core —
@@ -71,12 +63,6 @@ from tools.full_correctness_sweep import (  # noqa: E402
 EXCLUDE = {
     # O(n²) exact recall denominator — audit row for sampled slices
     "semantic_dedup_recall_audit",
-    # ~13%-dense synthetic overlap graph: Θ(Σ deg²) ≈ 10¹⁰ wedges on
-    # both engines (data-shape pathology, see module docstring)
-    "triangles_session_overlap_users",
-    # anchors on that same infeasible exact count; its sf1-checkable
-    # replacement is triangles_planted_acceptance (closed-form T)
-    "triangles_approx_session_graph",
 }
 # r8 note: overlapping_sessions_pairs (14M-row pair result) was
 # excluded pre-emptively, then measured: 18.6s Spark / 3.8s DuckDB /
