@@ -102,9 +102,18 @@ def build_reference(work: str) -> str:
     return exe
 
 
+def warm_page_cache(path: str) -> None:
+    """Read the corpus fully once before ANY timing: the file was
+    written seconds earlier, and overlapping writeback/cold-cache I/O
+    depressed a full best-of-4 by ~2× when first measured (r9)."""
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+
 def time_reference(exe: str, corpus: str, threads: int, runs: int) -> float:
     best = float("inf")
-    for _ in range(runs):
+    for r in range(runs + 1):
         t0 = time.perf_counter()
         subprocess.run(
             [exe, corpus, str(threads)],
@@ -112,7 +121,8 @@ def time_reference(exe: str, corpus: str, threads: int, runs: int) -> float:
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
-        best = min(best, time.perf_counter() - t0)
+        if r > 0:  # run 0 is the untimed warmup
+            best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
 
@@ -132,6 +142,8 @@ def main() -> int:
         corpus = build_corpus(work)
         record["corpus_mb"] = round(os.path.getsize(corpus) / 1e6, 1)
         exe = build_reference(work)
+        os.sync()
+        warm_page_cache(corpus)
         record["ref_1t_sec"] = time_reference(exe, corpus, 1, runs)
         record["ref_32t_sec"] = time_reference(exe, corpus, 32, runs)
 
