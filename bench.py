@@ -182,6 +182,8 @@ EXTRA = [
     "contribution_cap_per_source",
     "vocab_coverage_topn",
     "semantic_dedup_clusters_fixedk",
+    # round-9 additions
+    "mmr_diversified_topk_ivf",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan
