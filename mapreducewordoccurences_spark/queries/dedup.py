@@ -907,22 +907,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_recall_audit",
-    # portable acceptance oracle: corpus size, the derived cell count
-    # (GREATEST(8, n // 150) — same rule as derive_semdedup_k), and
-    # the EXACT cosine-pair denominator are all hash-matched; the
+    # portable acceptance oracle: AUDIT-SLICE size, the derived cell
+    # count (GREATEST(8, n // 150) — same rule as derive_semdedup_k),
+    # and the EXACT cosine-pair denominator are all hash-matched; the
     # within-cell recall itself is gated as a boolean (the k-means
     # assignment at dynamic k is not portable SQL, the exact pair set
-    # is).
+    # is). r9: the audit runs on a deterministic ≈500-vector panel
+    # (vec_id % p == 0, p = greatest(1, n div 500), identical integer
+    # arithmetic in both engines) — the O(n²) exact denominator is
+    # the audit's own documented reason to run on a sampled slice,
+    # and the panel makes the row sf1-sweepable instead of excluded
+    # (p=1, i.e. the full table, at driver scales).
     """
-    WITH pr AS (
+    WITH params AS (
+      SELECT greatest(1, count(*) // 500) AS p FROM embeddings
+    ), panel AS (
+      SELECT e.* FROM embeddings e, params WHERE e.vec_id % params.p = 0
+    ), pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM panel a JOIN panel b ON a.vec_id < b.vec_id
       WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
     )
-    SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
-           CAST(GREATEST(8, (SELECT count(*) FROM embeddings) // 150) AS BIGINT) AS k_cells,
+    SELECT (SELECT count(*) FROM panel) AS n_vectors,
+           CAST(GREATEST(8, (SELECT count(*) FROM panel) // 150) AS BIGINT) AS k_cells,
            (SELECT count(*) FROM pr) AS n_exact_pairs,
            TRUE AS recall_ok
     """,
@@ -941,13 +950,29 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the paper); the acceptance floor 0.15 sits under the observed
     band and recall_ok must come back TRUE for the value-hash to
     match. The O(n²) exact denominator marks this as an AUDIT row to
-    run on a sampled slice, never the full corpus."""
+    run on a sampled slice, never the full corpus — and since r9 the
+    row PRACTICES that: it audits a deterministic ≈500-vector panel
+    (vec_id % p == 0, p = greatest(1, n div 500); the full table
+    wherever n ≤ 500), which is what lets it sweep at sf1 instead of
+    being the exclusion list's last entry. The audited quantity —
+    within-cell recall at the production cell-size ratio — is
+    slice-invariant by design: cell occupancy (~target_cell_size),
+    not corpus size, drives the boundary-miss rate."""
     from mapreducewordoccurences_spark.dedup.embedding import (
         semantic_dedup_recall,
     )
 
+    emb = _t(spark, sf_dir, "embeddings")
+    p = emb.agg(
+        F.expr("greatest(cast(1 as bigint), count(*) div 500)").alias("__p")
+    )
+    panel = (
+        emb.crossJoin(F.broadcast(p))
+        .where(F.col("vec_id") % F.col("__p") == 0)
+        .drop("__p")
+    )
     return semantic_dedup_recall(
-        _t(spark, sf_dir, "embeddings"),
+        panel,
         threshold=0.4,
         iters=2,
         target_cell_size=150,

@@ -10,23 +10,31 @@ ask #5): run the ~25 heaviest / most scale-sensitive queries at
 compare as the driver (rows, schema, order-insensitive values) and
 write ``CORRECTNESS_sf1_r{N}.json``.
 
-Excluded by design (see EXCLUDE below for the authoritative list):
-- ``semantic_dedup_recall_audit``: O(n²) exact denominator — an audit
-  row for sampled slices, not a 32M-pair sweep entry.
-  (``semantic_dedup_clusters`` itself was un-excluded in r9: its
-  oracle now derives k from the data with the same GREATEST(8,
-  n // 150) rule the engine runs, so it sweeps at k=53 here.
-  The six streaming rows were un-excluded in r9 too — wordcount
-  parity's memory sink became a foreachBatch parquet sink + digest
-  row, and measuring the remaining five showed 3-8 s each at sf1
-  with 1-15k-row results: the old "materialization dominates"
-  rationale did not survive measurement.)
-(r9, VERDICT r8 ask #4: the two triangle exclusions are gone —
-``triangles_session_overlap_users`` now computes over a deterministic
-≈600-user panel, wedge-feasible on both engines at any sf and swept
-green here at sf1; the exact-anchored ``triangles_approx_session_graph``
-row was retired outright, superseded by
-``triangles_planted_acceptance``'s closed-form planted truth.)
+The EXCLUDE set is EMPTY as of round 9 — every r8 exclusion was
+closed rather than carried:
+
+- ``semantic_dedup_clusters``: its oracle now derives k from the data
+  with the same GREATEST(8, n // 150) rule the engine runs (k=53 at
+  sf1) instead of pinning the k the rule yields at driver scale.
+- the six streaming rows: wordcount parity's complete-mode memory
+  sink became a foreachBatch parquet sink + one-row digest, and
+  measuring the other five showed 3-8 s each at sf1 with 1-15k-row
+  results — the old "materialization dominates" rationale did not
+  survive measurement.
+- the two triangle rows (VERDICT r8 ask #4):
+  ``triangles_session_overlap_users`` computes over a deterministic
+  ≈600-user panel, wedge-feasible on both engines at any sf; the
+  exact-anchored ``triangles_approx_session_graph`` row was retired
+  outright, superseded by ``triangles_planted_acceptance``'s
+  closed-form planted truth.
+- ``semantic_dedup_recall_audit``: now audits a deterministic
+  ≈500-vector panel (its own docstring always said the O(n²) exact
+  denominator belongs on a sampled slice) — constant ~6 s at every
+  sf through sf3.
+
+The empty set stays in the code path so a future row with a genuine
+sf1-infeasibility has a documented place to live — with a written
+reason, like every entry above had.
 
 Round 8 (VERDICT r7 ask #5): the sweep now runs the FULL catalog
 minus a documented exclusion set, instead of a 27-name curated core —
@@ -58,15 +66,10 @@ from tools.full_correctness_sweep import (  # noqa: E402
     values_match,
 )
 
-# Excluded at sf1 only, each with a reason (all remain gated at
-# sf0.01 by the full sweep / driver):
-EXCLUDE = {
-    # O(n²) exact recall denominator — audit row for sampled slices
-    "semantic_dedup_recall_audit",
-}
-# r8 note: overlapping_sessions_pairs (14M-row pair result) was
-# excluded pre-emptively, then measured: 18.6s Spark / 3.8s DuckDB /
-# pandas compare fine — now swept.
+# rows excluded at sf1 only (each would need a written reason and
+# would remain gated at sf0.01 by the full sweep / driver) — EMPTY
+# since r9, see the module docstring for how each entry was closed
+EXCLUDE: set[str] = set()
 
 
 def main() -> int:
