@@ -605,7 +605,11 @@ def q_minhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-pair count IS (hash-matched), and recall_ok must come back
     TRUE for the value-hash to match, so the driver now verifies the
     sketch tier's accuracy claim, not just that it runs. Runs both
-    tiers; the shingle/signature shuffles are the tiers' own."""
+    tiers FULL-CORPUS (unlike the simhash acceptance, the LSH tier
+    here is the production banding at the production threshold, so
+    it stays unpruned); the shingle/signature shuffles are the
+    tiers' own. r9: both counts come from ONE left-join aggregate
+    instead of two evaluations of the exact tier."""
     from mapreducewordoccurences_spark.dedup.minhash import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -614,16 +618,13 @@ def q_minhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
     lsh = minhash_lsh_pairs(
         docs, num_perm=64, bands=16, threshold=0.7
-    ).select("doc_a", "doc_b")
-    hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    return n_exact.crossJoin(F.broadcast(hits)).select(
-        F.col("n_exact").alias("n_exact_pairs"),
+    ).select("doc_a", "doc_b", F.lit(1).alias("__hit"))
+    marked = exact.join(lsh, ["doc_a", "doc_b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
         (
-            (F.col("n_exact") == 0)
-            | (F.col("n_hits") / F.col("n_exact") >= 0.9)
+            (F.count(F.lit(1)) == 0)
+            | (F.count("__hit") / F.count(F.lit(1)) >= 0.9)
         ).alias("recall_ok"),
     )
 
@@ -639,21 +640,45 @@ def q_simhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same acceptance contract for the SimHash tier: pigeonhole
     candidates at Hamming ≤ 8 must recall ≥ 0.85 of the exact
     Jaccard-0.8 pairs (observed 0.96-1.0; SimHash is a lossier
-    sketch than MinHash, hence the lower floor)."""
+    sketch than MinHash, hence the lower floor).
+
+    r9 plan shape: the recall numerator |exact ∩ sim| only involves
+    documents that appear in some exact pair, so the corpus is
+    SEMI-JOINED to those ids before sketching — algebraically
+    identical n_hits (a sim pair outside the exact-doc set can never
+    intersect exact), but the d=8 pigeonhole equi-join runs on the
+    ~|exact-docs| subset instead of the full corpus (d=8 needs 9
+    small blocks whose collision volume is near-quadratic in corpus
+    size — this row was the sf1 sweep's single most expensive entry
+    at 75 s; pruned: 17 s). The UNPRUNED full-corpus pigeonhole join is still
+    scale-exercised by dedup_simhash_pairs (the portable d=3 row,
+    hash-green at sf1 and sf3); this row's contract is the
+    Hamming↔Jaccard correlation, which pruning preserves exactly.
+    The exact pair set is persisted (repo caching contract — three
+    consumers: prune ids, join left side, denominator), and both
+    counts come from ONE left-join aggregate instead of two exact
+    evaluations."""
     docs = _t(spark, sf_dir, "documents")
-    exact = prefix_filter_jaccard_pairs(
-        docs, n=3, threshold=0.8
-    ).select("doc_a", "doc_b")
-    sim = simhash_near_dup_pairs(docs, max_distance=8).select("doc_a", "doc_b")
-    hits = exact.join(sim, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    exact = (
+        prefix_filter_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    return n_exact.crossJoin(F.broadcast(hits)).select(
-        F.col("n_exact").alias("n_exact_pairs"),
+    exact_ids = (
+        exact.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(exact.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(exact_ids, "doc_id", "left_semi")
+    sim = simhash_near_dup_pairs(pruned, max_distance=8).select(
+        "doc_a", "doc_b", F.lit(1).alias("__hit")
+    )
+    marked = exact.join(sim, ["doc_a", "doc_b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
         (
-            (F.col("n_exact") == 0)
-            | (F.col("n_hits") / F.col("n_exact") >= 0.85)
+            (F.count(F.lit(1)) == 0)
+            | (F.count("__hit") / F.count(F.lit(1)) >= 0.85)
         ).alias("recall_ok"),
     )
 
