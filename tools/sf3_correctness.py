@@ -39,6 +39,10 @@ checked pairs → keepsets are validated by tier agreement, mass
 conservation, and planted duplicates.
 
 Usage: python tools/sf3_correctness.py [round] [sf_dir] [out_path]
+       SPARK_GRAFT_SWEEP_ONLY=row1,row2 ... — re-run just those rows
+       (oracle or invariant names) and merge into an existing
+       out_path, recomputing the summary (same contract as the sf1
+       sweep's partial re-run knob).
        (defaults: $SPARK_GRAFT_ROUND; .localdata/sf3)
 Don't overlap with other heavy jobs (24g Spark driver + 40GB DuckDB).
 """
@@ -61,7 +65,7 @@ from tools.full_correctness_sweep import (  # noqa: E402
 )
 
 # cross-engine rows: oracle measured affordable at sf3 (the pair
-# oracles are the slowest at ~1-4 min each; the recursive-CTE keepset
+# oracles are the slowest at ~1-6 min each; the recursive-CTE keepset
 # / clusters oracles are NOT run here — see INVARIANTS)
 ORACLE_ROWS = [
     "dedup_exact",
@@ -72,6 +76,17 @@ ORACLE_ROWS = [
     "substring_dedup_spans",
     "dedup_incremental_minhash",
     "semantic_dedup_clusters_fixedk",
+    # non-dedup anchors whose inputs actually GROW at sf3 (documents
+    # ×3, events ×3; the embeddings table stops at 8k rows past sf1,
+    # so the ANN family gains nothing from this decade): the
+    # reference workload, sessionization, the iterative fixed-point
+    # surface, and both triangle shapes (closed-form planted truth +
+    # the panel-scoped exact tier)
+    "wordcount",
+    "sessionize_events",
+    "pagerank_event_transitions",
+    "triangles_planted_acceptance",
+    "triangles_session_overlap_users",
 ]
 
 
@@ -238,8 +253,27 @@ def main() -> int:
     for name in TABLES:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
 
+    only_env = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+    only = (
+        {q.strip() for q in only_env.split(",") if q.strip()}
+        if only_env
+        else None
+    )
+    if only:
+        unknown = only - set(ORACLE_ROWS) - set(INVARIANTS)
+        if unknown:
+            print(f"unknown sf3 rows: {sorted(unknown)}", file=sys.stderr)
+            return 2
+
     results: dict[str, dict] = {}
-    for name in ORACLE_ROWS:
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("queries", {})
+    oracle_rows = [n for n in ORACLE_ROWS if only is None or n in only]
+    invariant_rows = {
+        n: fn for n, fn in INVARIANTS.items() if only is None or n in only
+    }
+    for name in oracle_rows:
         rec: dict = {"kind": "oracle", "hash_match": None, "err": None}
         try:
             t0 = time.perf_counter()
@@ -273,7 +307,7 @@ def main() -> int:
             file=sys.stderr, flush=True,
         )
 
-    for name, fn in INVARIANTS.items():
+    for name, fn in invariant_rows.items():
         rec = {"kind": "invariant", "hash_match": None, "err": None}
         try:
             t0 = time.perf_counter()
