@@ -3,6 +3,7 @@ from mapreducewordoccurences_spark.dedup.ngram import shingles_df, ngram_jaccard
 from mapreducewordoccurences_spark.dedup.minhash import minhash_signatures, minhash_lsh_pairs
 from mapreducewordoccurences_spark.dedup.simhash import simhash_fingerprints, simhash_near_dup_pairs
 from mapreducewordoccurences_spark.dedup.embedding import embedding_near_dup_pairs
+from mapreducewordoccurences_spark.dedup.editdist import edit_distance_pairs
 
 __all__ = [
     "exact_dup_groups",
@@ -14,4 +15,5 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
+    "edit_distance_pairs",
 ]

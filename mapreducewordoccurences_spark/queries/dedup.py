@@ -1047,3 +1047,50 @@ def q_semantic_dedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_profile(
         _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.4
     )
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    _EXACT_PAIRS_CTE.format(thr=0.7)
+    + """
+    , scored AS (
+      SELECT doc_a, doc_b,
+             levenshtein(substring(lower(x.text), 1, 400),
+                         substring(lower(y.text), 1, 400)) AS edit_dist,
+             greatest(length(substring(lower(x.text), 1, 400)),
+                      length(substring(lower(y.text), 1, 400))) AS len
+      FROM exact JOIN documents x ON x.doc_id = doc_a
+                 JOIN documents y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, edit_dist, edit_dist / len AS edit_ratio
+    FROM scored
+    """,
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive near-dup verification: the portable exact
+    Jaccard>=0.7 pair set (the same candidate contract as
+    dedup_minhash_lsh_pairs — LSH bands at est-J 0.5 recall the set,
+    exact shingle Jaccard confirms it) re-scored with Levenshtein
+    edit distance over lowercased 400-char prefixes
+    (dedup/editdist.py). Set similarity is permutation-blind; the
+    edit tier distinguishes true copies from shuffled boilerplate —
+    the classic plagiarism/template split a text pipeline needs
+    before survivorship.
+
+    Cross-engine contract: F.levenshtein is the textbook DP both
+    engines implement identically; edit_ratio is one int/int divide
+    (deterministic IEEE). The prefix cap bounds the per-pair DP at
+    <=160k cells regardless of document length.
+
+    Scale shape: the O(P^2) scorer only ever sees the sketch-bounded
+    verified pair set; enrichment is two id-equi-joins that AQE
+    broadcasts (candidate side ~ near-dup pair count << corpus).
+    """
+    from mapreducewordoccurences_spark.dedup.editdist import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_perm=128, bands=32, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    verified = exact_verify_pairs(docs, cand, threshold=0.7).select("doc_a", "doc_b")
+    return edit_distance_pairs(docs, verified, prefix_len=400)

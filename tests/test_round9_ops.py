@@ -162,3 +162,62 @@ class TestMmrIvfRow:
         assert len(got) == 1
         assert got[0]["k"] == 8
         assert bool(got[0]["mmr_ok"])
+
+
+class TestEditDistanceTier:
+    def test_known_distances_and_ratio(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "kitten"), (2, "sitting"), (3, "kitten")],
+            ["doc_id", "text"],
+        )
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3)], ["doc_a", "doc_b"]
+        )
+        from mapreducewordoccurences_spark.dedup.editdist import (
+            edit_distance_pairs,
+        )
+
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["edit_dist"], r["edit_ratio"])
+            for r in edit_distance_pairs(docs, cand).collect()
+        }
+        assert got[(1, 2)] == (3, 3 / 7)  # textbook kitten→sitting
+        assert got[(1, 3)] == (0, 0.0)
+
+    def test_prefix_cap_and_max_ratio(self, spark):
+        """Texts identical in the first prefix_len chars score 0 (the
+        documented cap semantics); max_ratio drops pairs above it."""
+        base = "a" * 50
+        docs = spark.createDataFrame(
+            [(1, base + "xxxx"), (2, base + "yyyy"), (3, "zz" * 27)],
+            ["doc_id", "text"],
+        )
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3)], ["doc_a", "doc_b"]
+        )
+        from mapreducewordoccurences_spark.dedup.editdist import (
+            edit_distance_pairs,
+        )
+
+        capped = edit_distance_pairs(docs, cand, prefix_len=50)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["edit_dist"] for r in capped.collect()
+        }
+        assert got[(1, 2)] == 0  # divergence lives past the cap
+        assert got[(1, 3)] == 50
+        kept = edit_distance_pairs(
+            docs, cand, prefix_len=50, max_ratio=0.1
+        ).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in kept} == {(1, 2)}
+
+    def test_case_normalization_is_symmetric(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "Hello World"), (2, "hello world")], ["doc_id", "text"]
+        )
+        cand = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+        from mapreducewordoccurences_spark.dedup.editdist import (
+            edit_distance_pairs,
+        )
+
+        row = edit_distance_pairs(docs, cand).collect()[0]
+        assert row["edit_dist"] == 0 and row["edit_ratio"] == 0.0
