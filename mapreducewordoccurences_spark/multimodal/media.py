@@ -799,3 +799,130 @@ def decode_audio_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) — the multimodal near-dup tier.
+# dHash (difference hash, Krawetz 2013): grayscale → nearest-neighbor
+# resample to (hash_w+1) x hash_h → one bit per horizontally adjacent
+# pixel pair (left > right). The hash is EXACTLY invariant to a
+# uniform brightness shift that doesn't wrap (strict > on both sides
+# of a constant offset), which is what makes the planted-duplicate
+# acceptance contract closed-form.
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def _dhash_one(payload: bytes | None, hash_w: int, hash_h: int) -> int | None:
+    """64-bit dHash of one encoded image through the stdlib codec
+    (decode → integer grayscale → NN-resample → adjacent-column
+    bits), or None when the bytes don't decode."""
+    import numpy as np  # noqa: PLC0415 — worker-side
+
+    meta = _png_meta(payload)
+    px = _png_pixels(payload)
+    if meta is None or px is None:
+        return None
+    w, h, ch, _ = meta
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    # integer grayscale: channel mean via exact int division — a
+    # uniform per-channel shift delta stays a uniform gray shift
+    gray = (arr.astype(np.uint32).sum(axis=2) // ch).astype(np.uint8)
+    small = np.frombuffer(
+        _nn_resample(gray.tobytes(), w, h, 1, hash_w + 1, hash_h),
+        dtype=np.uint8,
+    ).reshape(hash_h, hash_w + 1)
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def dhash_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """payload → (media_id, dhash) via Arrow-batched mapInPandas.
+
+    Undecodable payloads yield NULL hashes (the 100 TB corruption
+    rule: never fail the job). Downstream near-dup pairing is an
+    ordinary groupBy/self-equi-join on the 64-bit hash — the exact
+    dedup shuffle shape, bucketable, no all-pairs term."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "dhash": pd.array(
+                        [_dhash_one(p, hash_w, hash_h) for p in pdf[payload_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, DHASH_SCHEMA)
+
+
+def make_planted_dup_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    period: int = 10,
+    delta: int = 7,
+    side: int = 32,
+) -> DataFrame:
+    """Grayscale PNG corpus with PLANTED near-duplicates: every id with
+    ``id % period == 1`` carries the pixel pattern of ``id - 1``
+    shifted uniformly by ``delta`` gray levels.
+
+    Base patterns are per-id seeded uniform draws over [0, 245] (the
+    legacy MT19937 stream, frozen by numpy's compat policy), so
+    distinct ids collide on a 64-bit dHash with probability ~2^-64 —
+    while a planted copy's shift cannot wrap (245 + delta < 256) and
+    therefore preserves every strict ">" comparison: its dHash is
+    bit-identical to its source's. The acceptance oracle is the
+    closed-form planted pair list — same pattern as the planted
+    triangle row (queries/graph.py)."""
+    if not 0 < delta <= 10:
+        raise ValueError(f"delta must be in (0, 10], got {delta}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        def base_pixels(pattern_id: int) -> "np.ndarray":
+            seed = (int(pattern_id) * 2654435761) % (2**32)
+            rng = np.random.RandomState(seed)
+            return rng.randint(0, 246, side * side).astype(np.uint8)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % period == 1:
+                    px = base_pixels(i - 1) + np.uint8(delta)
+                else:
+                    px = base_pixels(i)
+                payloads.append(
+                    png_encode(side, side, 1, 1, frames=[px.tobytes()])
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "image/png", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)

@@ -122,3 +122,52 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rms").alias("sum_rms"),
         F.max("peak").alias("max_peak"),
     )
+
+
+@register(
+    "media_image_dhash_pairs",
+    # the planted pair list in closed form: every doc_id with
+    # id % 10 == 1 carries the (brightness-shifted) pixel pattern of
+    # id - 1 (make_planted_dup_images), and dHash is exactly
+    # invariant under a non-wrapping uniform shift, so the engine's
+    # hash-equal pair set IS the planted set (distinct base patterns
+    # are per-id uniform draws: 64-bit collision odds ~2^-64)
+    """
+    SELECT d.doc_id - 1 AS doc_a, d.doc_id AS doc_b
+    FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 1
+    WHERE d.doc_id % 10 = 1
+    """,
+)
+def q_media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over REAL image bytes, end to
+    end: synthesize grayscale PNGs with planted brightness-shifted
+    duplicates (multimodal/media.py make_planted_dup_images), decode
+    each through the stdlib codec and compute a 64-bit dHash
+    (difference hash — grayscale, NN-resample to 9x8, one bit per
+    adjacent-pixel comparison) in Arrow-batched mapInPandas, then
+    pair up hash-equal images with an ordinary self-equi-join.
+
+    This is the image-pipeline twin of exact text dedup: the
+    expensive perceptual work is a map-only pass producing one
+    64-bit key per image, and near-dup discovery is the exact-dedup
+    groupBy shuffle — no pairwise image comparison anywhere, so the
+    shape survives 100 TB of media (binary payloads never shuffle;
+    only (id, hash) rows do). The acceptance oracle is the
+    closed-form planted pair list, the planted-triangle pattern
+    (queries/graph.py) applied to the multimodal tier."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        dhash_images,
+        make_planted_dup_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = dhash_images(make_planted_dup_images(docs)).filter(
+        F.col("dhash").isNotNull()
+    )
+    a = h.select(F.col("media_id").alias("doc_a"), "dhash")
+    b = h.select(F.col("media_id").alias("doc_b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )

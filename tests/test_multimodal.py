@@ -373,3 +373,66 @@ def test_make_fake_media_payloads_are_real_png(spark):
     for r in sample_frames(make_fake_media(ids), every_nth=2).collect():
         by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert sorted(by_id[4]) == [0, 2, 4]  # 1 + 4 % 5 = 5 frames
+
+
+class TestDhashPerceptualDedup:
+    def test_uniform_shift_invariance_and_distinctness(self):
+        """A non-wrapping brightness shift must not change the dHash;
+        distinct random patterns must (codec-level unit check)."""
+        import numpy as np
+
+        from mapreducewordoccurences_spark.multimodal.media import (
+            _dhash_one,
+            png_encode,
+        )
+
+        rng = np.random.RandomState(42)
+        base = rng.randint(0, 246, 32 * 32).astype(np.uint8)
+        other = rng.randint(0, 246, 32 * 32).astype(np.uint8)
+        h_base = _dhash_one(png_encode(32, 32, 1, 1, frames=[base.tobytes()]), 8, 8)
+        h_shift = _dhash_one(
+            png_encode(32, 32, 1, 1, frames=[(base + np.uint8(9)).tobytes()]), 8, 8
+        )
+        h_other = _dhash_one(png_encode(32, 32, 1, 1, frames=[other.tobytes()]), 8, 8)
+        assert h_base == h_shift
+        assert h_base != h_other
+        assert _dhash_one(b"not a png", 8, 8) is None
+
+    def test_rgb_channel_mean_shift_invariance(self):
+        """Grayscale = exact integer channel mean, so a uniform shift
+        applied to EVERY channel stays a uniform gray shift."""
+        import numpy as np
+
+        from mapreducewordoccurences_spark.multimodal.media import (
+            _dhash_one,
+            png_encode,
+        )
+
+        rng = np.random.RandomState(7)
+        base = rng.randint(0, 240, 16 * 16 * 3).astype(np.uint8)
+        a = _dhash_one(png_encode(16, 16, 3, 1, frames=[base.tobytes()]), 8, 8)
+        b = _dhash_one(
+            png_encode(16, 16, 3, 1, frames=[(base + np.uint8(6)).tobytes()]), 8, 8
+        )
+        assert a == b and a is not None
+
+    def test_planted_pairs_end_to_end(self, spark):
+        """The distributed pipeline finds exactly the planted pairs."""
+        from pyspark.sql import functions as F
+
+        from mapreducewordoccurences_spark.multimodal.media import (
+            dhash_images,
+            make_planted_dup_images,
+        )
+
+        docs = spark.range(40).withColumnRenamed("id", "doc_id")
+        h = dhash_images(make_planted_dup_images(docs))
+        a = h.select(F.col("media_id").alias("doc_a"), "dhash")
+        b = h.select(F.col("media_id").alias("doc_b"), "dhash")
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(b, "dhash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .collect()
+        }
+        assert pairs == {(0, 1), (10, 11), (20, 21), (30, 31)}
