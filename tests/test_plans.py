@@ -295,6 +295,10 @@ PYTHON_ALLOWED = {
     "media_image_dims",
     "media_frame_sample",
     "media_audio_stats",
+    # codec decode + 64-bit dHash is Arrow-batched mapInPandas by
+    # design (media bytes never enter JVM expressions); the pairing
+    # join itself is JVM-side
+    "media_image_dhash_pairs",
     # bounded per-partition Space-Saving summary (constant memory,
     # vectorized pandas value_counts) — the candidate phase of the
     # exact heavy-hitter pattern is Python by design
