@@ -184,6 +184,9 @@ EXTRA = [
     "semantic_dedup_clusters_fixedk",
     # round-9 additions
     "mmr_diversified_topk_ivf",
+    "dedup_edit_distance_pairs",
+    "media_image_dhash_pairs",
+    "media_audio_fingerprint_pairs",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

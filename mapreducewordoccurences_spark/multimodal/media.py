@@ -926,3 +926,141 @@ def make_planted_dup_images(
             )
 
     return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting — the audio twin of the dHash tier. The
+# fingerprint is the sign pattern of adjacent WINDOW-ENERGY deltas
+# (sum of |PCM16| per equal-width chunk): exactly invariant under a
+# positive integer gain (|c*x| = c*|x| preserves every > and ==), so
+# a planted gain-scaled copy fingerprints bit-identically while
+# per-id random energy profiles collide with probability ~2^-63.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+
+def _audio_fingerprint_one(payload: bytes | None, n_windows: int = 64) -> int | None:
+    """63-bit energy-delta fingerprint of one WAV payload through the
+    stdlib codec, or None when the bytes don't decode."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload is None:
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            x = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    except Exception:  # noqa: BLE001 — corrupt bytes → NULL path
+        return None
+    if x.size < n_windows:
+        return None
+    mag = np.abs(x.astype(np.int64))
+    bounds = (np.arange(n_windows + 1) * mag.size) // n_windows
+    energy = np.add.reduceat(mag, bounds[:-1])
+    bits = np.zeros(64, dtype=bool)
+    bits[: n_windows - 1] = energy[:-1] > energy[1:]
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_windows: int = 64,
+) -> DataFrame:
+    """payload → (media_id, afp) via Arrow-batched mapInPandas; near-
+    dup pairing downstream is the exact-dedup groupBy shape on the
+    64-bit fingerprint — audio bytes never shuffle."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "afp": pd.array(
+                        [
+                            _audio_fingerprint_one(p, n_windows)
+                            for p in pdf[payload_col]
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, AUDIO_FP_SCHEMA)
+
+
+def make_planted_dup_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    period: int = 10,
+    residue: int = 3,
+    gain: int = 3,
+    n_windows: int = 64,
+    frames_per_window: int = 8,
+) -> DataFrame:
+    """WAV corpus with PLANTED gain-scaled duplicates: every id with
+    ``id % period == residue`` carries the window-amplitude profile of
+    ``id - 1`` multiplied by ``gain`` (max amplitude 1000·gain stays
+    far inside PCM16). Profiles are per-id seeded uniform draws over
+    [50, 1000); each window is a ±a_w square wave, so window energy
+    is exactly frames_per_window·a_w — the fingerprint's closed-form
+    ground truth, same acceptance pattern as the image dHash row."""
+    if not 1 <= gain <= 30:
+        raise ValueError(f"gain must be in [1, 30], got {gain}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
+        def profile(pattern_id: int) -> "np.ndarray":
+            seed = (int(pattern_id) * 2654435761 + 17) % (2**32)
+            return np.random.RandomState(seed).randint(50, 1000, n_windows)
+
+        def encode(amps: "np.ndarray") -> bytes:
+            samples = np.repeat(amps.astype(np.int16), frames_per_window)
+            sign = np.where(
+                (np.arange(samples.size) // 4) % 2 == 0, 1, -1
+            ).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes((samples * sign).astype("<i2").tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % period == residue:
+                    payloads.append(encode(profile(i - 1) * gain))
+                else:
+                    payloads.append(encode(profile(i)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "audio/wav", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)

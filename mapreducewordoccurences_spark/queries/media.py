@@ -171,3 +171,47 @@ def q_media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
+
+
+@register(
+    "media_audio_fingerprint_pairs",
+    # planted gain-scaled duplicates: ids with id % 10 == 3 carry the
+    # window-amplitude profile of id - 1 times gain 3
+    # (make_planted_dup_audio), and the energy-delta fingerprint is
+    # exactly invariant under positive integer gain — the engine's
+    # fingerprint-equal pair set IS the closed-form planted list
+    """
+    SELECT d.doc_id - 1 AS doc_a, d.doc_id AS doc_b
+    FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 1
+    WHERE d.doc_id % 10 = 3
+    """,
+)
+def q_media_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection over REAL WAV bytes, end to end — the
+    audio twin of media_image_dhash_pairs: synthesize PCM16 clips
+    with planted gain-scaled duplicates, decode each through the
+    stdlib wave codec and compute a 63-bit energy-delta fingerprint
+    (sign of adjacent window-|amplitude| sums — gain-invariant
+    because |c*x| = c*|x| preserves every comparison) in
+    Arrow-batched mapInPandas, then pair fingerprint-equal clips
+    with an ordinary self-equi-join.
+
+    Scale shape: identical to the image row — perceptual work is a
+    map-only pass to one 64-bit key per clip; pairing is the
+    exact-dedup groupBy shuffle; audio bytes never shuffle."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        audio_fingerprints,
+        make_planted_dup_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = audio_fingerprints(make_planted_dup_audio(docs)).filter(
+        F.col("afp").isNotNull()
+    )
+    a = h.select(F.col("media_id").alias("doc_a"), "afp")
+    b = h.select(F.col("media_id").alias("doc_b"), "afp")
+    return (
+        a.join(b, "afp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )

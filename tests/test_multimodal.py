@@ -436,3 +436,55 @@ class TestDhashPerceptualDedup:
             .collect()
         }
         assert pairs == {(0, 1), (10, 11), (20, 21), (30, 31)}
+
+
+class TestAudioFingerprintDedup:
+    def test_gain_invariance_and_distinctness(self):
+        import numpy as np
+
+        from mapreducewordoccurences_spark.multimodal.media import (
+            _audio_fingerprint_one,
+        )
+
+        def wav(amps):
+            import io
+            import wave
+
+            samples = np.repeat(amps.astype(np.int16), 8)
+            sign = np.where((np.arange(samples.size) // 4) % 2 == 0, 1, -1)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes((samples * sign).astype("<i2").tobytes())
+            return buf.getvalue()
+
+        rng = np.random.RandomState(11)
+        a = rng.randint(50, 1000, 64)
+        b = rng.randint(50, 1000, 64)
+        fp_a = _audio_fingerprint_one(wav(a))
+        fp_scaled = _audio_fingerprint_one(wav(a * 5))
+        fp_b = _audio_fingerprint_one(wav(b))
+        assert fp_a == fp_scaled and fp_a is not None
+        assert fp_a != fp_b
+        assert _audio_fingerprint_one(b"not a wav") is None
+
+    def test_planted_pairs_end_to_end(self, spark):
+        from pyspark.sql import functions as F
+
+        from mapreducewordoccurences_spark.multimodal.media import (
+            audio_fingerprints,
+            make_planted_dup_audio,
+        )
+
+        docs = spark.range(40).withColumnRenamed("id", "doc_id")
+        h = audio_fingerprints(make_planted_dup_audio(docs))
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in h.select(F.col("media_id").alias("doc_a"), "afp")
+            .join(h.select(F.col("media_id").alias("doc_b"), "afp"), "afp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .collect()
+        }
+        assert pairs == {(2, 3), (12, 13), (22, 23), (32, 33)}

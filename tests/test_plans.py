@@ -299,6 +299,7 @@ PYTHON_ALLOWED = {
     # design (media bytes never enter JVM expressions); the pairing
     # join itself is JVM-side
     "media_image_dhash_pairs",
+    "media_audio_fingerprint_pairs",
     # bounded per-partition Space-Saving summary (constant memory,
     # vectorized pandas value_counts) — the candidate phase of the
     # exact heavy-hitter pattern is Python by design

@@ -75,7 +75,12 @@ ORACLE_ROWS = [
     "dedup_simhash_pairs",
     "substring_dedup_spans",
     "dedup_incremental_minhash",
+    "dedup_edit_distance_pairs",
     "semantic_dedup_clusters_fixedk",
+    # the multimodal near-dup tier: 150k planted-pattern PNGs decode +
+    # dHash per doc (map-only), closed-form planted-pair oracle
+    "media_image_dhash_pairs",
+    "media_audio_fingerprint_pairs",
     # non-dedup anchors whose inputs actually GROW at sf3 (documents
     # ×3, events ×3; the embeddings table stops at 8k rows past sf1,
     # so the ANN family gains nothing from this decade): the
