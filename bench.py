@@ -187,6 +187,7 @@ EXTRA = [
     "dedup_edit_distance_pairs",
     "media_image_dhash_pairs",
     "media_audio_fingerprint_pairs",
+    "media_video_clip_dhash_pairs",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

@@ -1064,3 +1064,132 @@ def make_planted_dup_audio(
             )
 
     return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video (multi-frame clip) near-dup: per-frame dHash fan-out through
+# the APNG codec, then clip-level re-aggregation. Completes the
+# image/audio/video triad with a different distributed shape: one
+# MEDIA row fans out to n_frames hash rows, and clip identity is an
+# order-canonicalized aggregate over them.
+# ---------------------------------------------------------------------------
+
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def dhash_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """payload → one (media_id, frame_idx, dhash) row PER FRAME via
+    Arrow-batched mapInPandas — the frame fan-out happens inside the
+    batch (pure map work), so a clip never needs to be decoded twice
+    and payload bytes still never shuffle."""
+    import numpy as np  # noqa: PLC0415
+
+    def _frame_hashes(payload: bytes | None) -> list[int | None]:
+        meta = _png_meta(payload)
+        if meta is None:
+            return []
+        w, h, ch, n_frames = meta
+        out: list[int | None] = []
+        for f in range(n_frames):
+            px = _png_pixels(payload, frame=f)
+            if px is None:
+                out.append(None)
+                continue
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+            gray = (arr.astype(np.uint32).sum(axis=2) // ch).astype(np.uint8)
+            small = np.frombuffer(
+                _nn_resample(gray.tobytes(), w, h, 1, hash_w + 1, hash_h),
+                dtype=np.uint8,
+            ).reshape(hash_h, hash_w + 1)
+            bits = (small[:, :-1] > small[:, 1:]).flatten()
+            out.append(
+                int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+            )
+        return out
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[int | None] = []
+            for i, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                for f, hv in enumerate(_frame_hashes(p)):
+                    ids.append(int(i))
+                    idxs.append(f)
+                    hashes.append(hv)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, FRAME_DHASH_SCHEMA)
+
+
+def make_planted_dup_clips(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    period: int = 10,
+    residue: int = 7,
+    delta: int = 7,
+    side: int = 16,
+    n_frames: int = 4,
+) -> DataFrame:
+    """APNG clip corpus with PLANTED near-duplicates: ids with
+    ``id % period == residue`` carry every frame of ``id - 1``'s clip
+    shifted uniformly by ``delta`` gray levels (non-wrapping, so each
+    frame's dHash — and hence the clip fingerprint — is preserved
+    exactly). Frame patterns are seeded per (pattern_id, frame)."""
+    if not 0 < delta <= 10:
+        raise ValueError(f"delta must be in (0, 10], got {delta}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        def frame_pixels(pattern_id: int, f: int) -> "np.ndarray":
+            seed = (int(pattern_id) * 2654435761 + f * 97 + 29) % (2**32)
+            rng = np.random.RandomState(seed)
+            return rng.randint(0, 246, side * side).astype(np.uint8)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                pattern, shift = (
+                    (i - 1, np.uint8(delta))
+                    if i % period == residue
+                    else (i, np.uint8(0))
+                )
+                frames = [
+                    (frame_pixels(pattern, f) + shift).tobytes()
+                    for f in range(n_frames)
+                ]
+                payloads.append(png_encode(side, side, 1, n_frames, frames=frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "image/apng", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)

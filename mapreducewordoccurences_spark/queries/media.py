@@ -215,3 +215,57 @@ def q_media_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
+
+
+@register(
+    "media_video_clip_dhash_pairs",
+    # planted clip duplicates: ids with id % 10 == 7 carry every frame
+    # of id - 1's clip brightness-shifted (make_planted_dup_clips);
+    # per-frame dHash is shift-invariant, so the canonicalized clip
+    # fingerprint matches exactly and the pair set is the closed-form
+    # planted list
+    """
+    SELECT d.doc_id - 1 AS doc_a, d.doc_id AS doc_b
+    FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 1
+    WHERE d.doc_id % 10 = 7
+    """,
+)
+def q_media_video_clip_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level (video) near-dup detection, completing the
+    image/audio/video triad with a different distributed shape: each
+    APNG clip fans out to one dHash row PER FRAME inside the decode
+    batch (multimodal/media.py dhash_frames — payload decoded once,
+    bytes never shuffle), then clip identity is an order-canonical
+    aggregate (sorted frame_idx:dhash list → md5) and pairing is the
+    exact-dedup self-equi-join on the clip fingerprint.
+
+    Scale shape: the only shuffles carry (media_id, frame_idx, int64)
+    and then (media_id, 128-bit fingerprint) rows — at 100 TB of
+    video the shuffled bytes are ~20 B/frame, independent of frame
+    size; the groupBy state is one row per clip."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        dhash_frames,
+        make_planted_dup_clips,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = dhash_frames(make_planted_dup_clips(docs)).filter(
+        F.col("dhash").isNotNull()
+    )
+    clips = frames.groupBy("media_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.concat_ws(":", "frame_idx", "dhash"))
+                ),
+            )
+        ).alias("clipfp")
+    )
+    a = clips.select(F.col("media_id").alias("doc_a"), "clipfp")
+    b = clips.select(F.col("media_id").alias("doc_b"), "clipfp")
+    return (
+        a.join(b, "clipfp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )

@@ -488,3 +488,40 @@ class TestAudioFingerprintDedup:
             .collect()
         }
         assert pairs == {(2, 3), (12, 13), (22, 23), (32, 33)}
+
+
+class TestVideoClipDhashDedup:
+    def test_frame_fanout_and_shift_invariance(self, spark):
+        from pyspark.sql import functions as F
+
+        from mapreducewordoccurences_spark.multimodal.media import (
+            dhash_frames,
+            make_planted_dup_clips,
+        )
+
+        docs = spark.range(20).withColumnRenamed("id", "doc_id")
+        fr = dhash_frames(make_planted_dup_clips(docs, n_frames=4))
+        # fan-out: 4 hash rows per clip, all frames decoded
+        counts = {r["media_id"]: r["n"] for r in
+                  fr.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 4 for v in counts.values()) and len(counts) == 20
+        # planted copy (id 7 <- id 6, id 17 <- id 16): per-frame equal
+        h = {(r["media_id"], r["frame_idx"]): r["dhash"] for r in fr.collect()}
+        for f in range(4):
+            assert h[(6, f)] == h[(7, f)]
+            assert h[(16, f)] == h[(17, f)]
+        # distinct patterns differ (frame 0 of clip 0 vs clip 2)
+        assert h[(0, 0)] != h[(2, 0)]
+        # frames within a clip differ (per-frame seeds)
+        assert h[(0, 0)] != h[(0, 1)]
+
+    def test_planted_clip_pairs_end_to_end(self, spark):
+        from mapreducewordoccurences_spark.queries import QUERIES
+
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["media_video_clip_dhash_pairs"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert got == {(i - 1, i) for i in range(7, 500, 10)}

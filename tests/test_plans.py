@@ -300,6 +300,7 @@ PYTHON_ALLOWED = {
     # join itself is JVM-side
     "media_image_dhash_pairs",
     "media_audio_fingerprint_pairs",
+    "media_video_clip_dhash_pairs",
     # bounded per-partition Space-Saving summary (constant memory,
     # vectorized pandas value_counts) — the candidate phase of the
     # exact heavy-hitter pattern is Python by design

@@ -81,6 +81,7 @@ ORACLE_ROWS = [
     # dHash per doc (map-only), closed-form planted-pair oracle
     "media_image_dhash_pairs",
     "media_audio_fingerprint_pairs",
+    "media_video_clip_dhash_pairs",
     # non-dedup anchors whose inputs actually GROW at sf3 (documents
     # ×3, events ×3; the embeddings table stops at 8k rows past sf1,
     # so the ANN family gains nothing from this decade): the
