@@ -6,6 +6,9 @@ from mapreducewordoccurences_spark.multimodal.media import (
     extract_image_features,
     resize_images,
     sample_frames,
+    dhash_images,
+    dhash_frames,
+    audio_fingerprints,
 )
 
 __all__ = [
@@ -16,4 +19,7 @@ __all__ = [
     "extract_image_features",
     "resize_images",
     "sample_frames",
+    "dhash_images",
+    "dhash_frames",
+    "audio_fingerprints",
 ]
