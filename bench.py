@@ -188,6 +188,7 @@ EXTRA = [
     "media_image_dhash_pairs",
     "media_audio_fingerprint_pairs",
     "media_video_clip_dhash_pairs",
+    "near_dup_cross_source_matrix",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

@@ -1094,3 +1094,50 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = exact_verify_pairs(docs, cand, threshold=0.7).select("doc_a", "doc_b")
     return edit_distance_pairs(docs, verified, prefix_len=400)
+
+
+@register(
+    "near_dup_cross_source_matrix",
+    _EXACT_PAIRS_CTE.format(thr=0.7)
+    + """
+    SELECT least(x.source, y.source) AS source_x,
+           greatest(x.source, y.source) AS source_y,
+           count(*) AS n_pairs
+    FROM exact JOIN documents x ON x.doc_id = doc_a
+               JOIN documents y ON y.doc_id = doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q_near_dup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the curation report behind
+    source-mix decisions ('how much does src7 republish src12?'):
+    the verified near-dup pair set (LSH candidates → exact shingle
+    Jaccard ≥ 0.7, the same conditional-recall contract as
+    dedup_minhash_lsh_pairs) enriched with each side's source and
+    aggregated per unordered source pair (least/greatest
+    canonicalization, so the matrix is upper-triangular).
+
+    Scale shape: enrichment is two id-equi-joins on the
+    sketch-bounded pair set; the aggregate's key space is
+    |sources|², a dimension-table-sized groupBy at any corpus size.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_perm=128, bands=32, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    pairs = exact_verify_pairs(docs, cand, threshold=0.7).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    enriched = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
+        "doc_b",
+    )
+    return (
+        enriched.groupBy(
+            F.least("_sa", "_sb").alias("source_x"),
+            F.greatest("_sa", "_sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -221,3 +221,51 @@ class TestEditDistanceTier:
 
         row = edit_distance_pairs(docs, cand).collect()[0]
         assert row["edit_dist"] == 0 and row["edit_ratio"] == 0.0
+
+
+class TestCrossSourceMatrix:
+    def test_canonical_unordered_source_pairs(self, spark):
+        """Planted near-dups across sources land in ONE
+        upper-triangular cell regardless of id order."""
+        from pyspark.sql import functions as F
+
+        from mapreducewordoccurences_spark.dedup.verify import exact_verify_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, base, "srcB"),
+                (2, base, "srcA"),          # dup of 1, other source
+                (3, base + " iota", "srcA"),  # near-dup of 1 and 2
+                (4, "totally different words here now", "srcC"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (1, 4)], ["doc_a", "doc_b"]
+        )
+        pairs = exact_verify_pairs(docs, cand, threshold=0.7).select(
+            "doc_a", "doc_b"
+        )
+        src = docs.select("doc_id", "source")
+        got = {
+            (r["source_x"], r["source_y"]): r["n_pairs"]
+            for r in pairs.join(
+                src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
+                "doc_a",
+            )
+            .join(
+                src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
+                "doc_b",
+            )
+            .groupBy(
+                F.least("_sa", "_sb").alias("source_x"),
+                F.greatest("_sa", "_sb").alias("source_y"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .collect()
+        }
+        # verified pairs >= 0.7: (1,2) exact dup and (1,3) near-dup
+        # both span srcB/srcA -> cell (srcA, srcB) = 2; (2,3) is
+        # within srcA -> (srcA, srcA) = 1; (1,4) fails the cut
+        assert got == {("srcA", "srcB"): 2, ("srcA", "srcA"): 1}
