@@ -74,3 +74,15 @@ def test_latest_local_record_filters_by_comparability(tmp_path):
         str(tmp_path), like=_rec({}, sf=1.0)
     ) is None
     assert record_round(str(tmp_path / "BENCH_local_r5.json")) == 5
+
+
+def test_latest_sf1_record_before_round_excludes_self(tmp_path):
+    # ADVICE r9 #3: a re-run within round N must baseline against the
+    # newest artifact from a round < N, never the file it overwrites.
+    from tools.bench_sf1 import latest_sf1_record
+
+    for n in (7, 8, 9):
+        (tmp_path / f"BENCH_sf1_r{n:02d}.json").write_text("{}")
+    assert latest_sf1_record(str(tmp_path)).endswith("r09.json")
+    assert latest_sf1_record(str(tmp_path), before_round=9).endswith("r08.json")
+    assert latest_sf1_record(str(tmp_path), before_round=7) is None

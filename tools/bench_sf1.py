@@ -66,6 +66,15 @@ SF1_CORE = [
     # round-8 additions
     "triangles_planted_acceptance",
     "ntile_customer_value_quartiles",
+    # round-9 additions (the perceptual dedup tier + edit tier;
+    # first timed in the r9 artifact as NEW rows — the round-over-
+    # round gate compares per-query, so additions don't perturb the
+    # existing rows' baselines)
+    "dedup_edit_distance_pairs",
+    "media_image_dhash_pairs",
+    "media_audio_fingerprint_pairs",
+    "media_video_clip_dhash_pairs",
+    "near_dup_cross_source_matrix",
 ]
 
 
