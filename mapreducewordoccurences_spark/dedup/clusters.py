@@ -44,9 +44,25 @@ def connected_components(
     from mapreducewordoccurences_spark.core.checkpointing import make_truncate
 
     truncate = make_truncate(pairs, checkpoint_dir)
+    # symmetrize via explode, NOT union-of-swapped-selects: pairs is
+    # usually an UNMATERIALIZED candidate-generation subplan (LSH /
+    # n-gram SSJoin), and a union would evaluate that subplan once per
+    # branch in the edges job — 2x the most expensive stage of the
+    # whole clustering. One pass + explode emits both directions.
     edges = truncate(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()

@@ -53,8 +53,12 @@ def pagerank_fixed_point(
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v"), w.alias("w")
     )
-    # collapse duplicate edges up front: one (u,v) weight per pair
-    e = e.groupBy("u", "v").agg(F.sum("w").alias("w"))
+    # collapse duplicate edges up front: one (u,v) weight per pair —
+    # and TRUNCATE here, before anything fans out: nodes and outw
+    # below each consume e, and without the pin every consumer would
+    # re-run the upstream edge-construction subplan (often the
+    # expensive stage when the caller passes a transition/pair plan).
+    e = truncate(e.groupBy("u", "v").agg(F.sum("w").alias("w")))
     nodes = truncate(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -333,12 +337,23 @@ def kcore_membership(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     truncate = make_truncate(edges, checkpoint_dir)
-    e = (
+    # symmetrize with explode, not union-of-swapped-selects: edges is
+    # typically an unmaterialized candidate-pair subplan (LSH bands),
+    # and a union would evaluate it once per branch inside the sym
+    # job — 2x the dominant stage (same fix as dedup/clusters.py).
+    sym = truncate(
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
-    )
-    sym = truncate(
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
     )
 
     alive = None  # round 0 counts over the full graph

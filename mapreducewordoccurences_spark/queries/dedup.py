@@ -288,10 +288,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (Jaccard ≥ 0.8) resolved into connected
     components via iterative min-label propagation — the iterative-
     algorithm surface. Oracle uses a recursive CTE reachability
-    closure (min-reachable-id per node ≡ component)."""
+    closure (min-reachable-id per node ≡ component).
+
+    Pair tier is the df-capped posting-list invocation — the same
+    scale-safe configuration (and the same never-binds argument) as
+    the ``dedup_ngram_jaccard`` row: max observed shingle df is 25 at
+    sf0.1 / 240 at sf1 / 720 at sf3, all under the 1000 cap, so the
+    uncapped recursive-CTE oracle matches exactly while the engine
+    avoids the Σdf² self-join shape (53.7 → ~15 s at sf1)."""
     from mapreducewordoccurences_spark.dedup.clusters import dup_clusters
 
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8, max_shingle_df=1000
+    )
     return dup_clusters(pairs)
 
 

@@ -198,9 +198,13 @@ def q_degree_distribution_session_graph(spark: SparkSession, sf_dir: str) -> Dat
         .select("user_a", "user_b")
         .distinct()
     )
+    # both endpoints via explode in ONE pass over the edge build — a
+    # unionAll of two selects would evaluate the interval-overlap
+    # subplan (the dominant stage) once per branch
     deg = (
-        edges.select(F.col("user_a").alias("node"))
-        .unionAll(edges.select(F.col("user_b").alias("node")))
+        edges.select(
+            F.explode(F.array("user_a", "user_b")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
