@@ -18,12 +18,20 @@ from sf0.01->0.1):
   bijection, with a word-hash-stable 50% kept verbatim. Jaccard is
   invariant under an injective vocabulary map, so the WITHIN-copy
   near-dup pair structure is exactly the sf0.1 structure (pair counts
-  scale linearly, 10x), while cross-copy clones land at J~=1/3 —
-  far below every catalog threshold (0.7+), so replication introduces
-  ZERO new near-dup pairs. Naive replication would instead create
-  ~C(10,2) exact-clone pairs per document and make every pair-emitting
-  dedup query look quadratic by construction. Space/char counts are
-  preserved exactly (n_chars stays valid).
+  scale linearly, 10x), while a TYPICAL cross-copy clone lands at
+  J~=1/3 — far below every catalog threshold (0.7+). Caveat,
+  discovered when building the sf10 reference oracle
+  (tools/sf10_expected.py): base docs written (almost) entirely in
+  the verbatim-kept vocabulary half DO stay near-identical across
+  copies — at sf0.1 five docs have cross-copy J >= 0.8 (two exact
+  clones), contributing C(copies, 2)-shaped pair families on top of
+  the linear within-copy structure (225 of sf1's 2785 pairs; 24,751
+  of sf10's 50,351). Cross-engine sweeps are immune (both engines
+  see the same data); anything claiming a pure x-copies invariant is
+  not — use the reference oracle. Naive replication would instead
+  create ~C(copies,2) exact-clone pairs per EVERY document and make
+  every pair-emitting dedup query look quadratic by construction.
+  Space/char counts are preserved exactly (n_chars stays valid).
 - **Orthogonal rotation on embeddings** (copy>0): a seeded QR-derived
   rotation preserves norms and all within-copy cosines (ANN/top-k
   structure per copy is exactly sf0.1's) while cross-copy cosines
