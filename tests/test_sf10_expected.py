@@ -80,7 +80,7 @@ def test_expected_pairs_cover_special_collision_copy_pair():
     Brute force is restricted to those two copies (their within- and
     cross-pairs are self-contained), keeping the test fast."""
     bc = BaseCorpus(24)
-    assert ("part", "part") in bc.extra.get((0, 23), {}).items()
+    assert ("part", "part") in bc.extra.get((0, 23), set())
     keep = {0, 23}
     rendered = {
         i: ts
@@ -101,6 +101,49 @@ def test_expected_pairs_cover_special_collision_copy_pair():
         if {a // DOC_STRIDE, b // DOC_STRIDE} == {0, 23}
     }
     assert cross_0_23
+
+
+def test_expected_pairs_cover_noninjective_copy():
+    """copies=161 brings in copy 159, whose map renders BOTH 'the' and
+    'dup' to 'dup' — non-injective, so within-copy Jaccard changes and
+    every (159, j) agreement relation is non-functional. The oracle's
+    rendered-set path must match brute force on the {0, 159, 160}
+    sub-corpus (within- and cross-pairs of those copies are
+    self-contained)."""
+    bc = BaseCorpus(161)
+    assert bc.noninjective == {159}
+    keep = {0, 159, 160}
+    rendered = {
+        i: ts
+        for i, ts in _render_all(bc).items()
+        if i // DOC_STRIDE in keep
+    }
+    brute = _brute_pairs(rendered, 0.8)
+    oracle = {
+        (a, b, round(j, 9))
+        for a, b, j in bc.expected_pairs_explicit(0.8)
+        if a // DOC_STRIDE in keep and b // DOC_STRIDE in keep
+    }
+    assert oracle == brute
+    cross_159 = {
+        (a, b) for a, b, _ in brute
+        if (a // DOC_STRIDE == 159) != (b // DOC_STRIDE == 159)
+    }
+    assert cross_159  # the collision really contributes pairs
+
+
+def test_noninjective_copy_within_pairs_explicitly_computed():
+    """On THIS corpus no doc happens to contain both a 'the'-shingle
+    and its 'dup'-twin, so copy 159's rendered sets do not shrink and
+    its within-copy pairs coincide with the base pairs — but the
+    oracle must arrive at that via the rendered posting join, not the
+    replication shortcut, and the equality is asserted (it would break
+    loudly if the corpus ever gained such a doc)."""
+    bc = BaseCorpus(161)
+    within = {(a, b, round(j, 9))
+              for a, b, j in bc._within_pairs_rendered(159, 0.8)}
+    base = {(a, b, round(j, 9)) for a, b, j in bc.base_pairs(0.8)}
+    assert within == base
 
 
 def test_exact_classes_match_rendered_texts(bc3):

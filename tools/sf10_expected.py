@@ -83,23 +83,33 @@ class BaseCorpus:
             )
         self.vocab = sorted({w for ts in self.tokens.values() for w in ts})
         self.word_idx = {w: i for i, w in enumerate(self.vocab)}
-        # per-copy renders; copy 0 is verbatim
+        # per-copy renders; copy 0 is verbatim. A copy's map may be
+        # NON-injective (first case: copy 159 renders 'the' to 'dup',
+        # colliding with the verbatim 'dup') — within such a copy the
+        # rendered shingle sets can SHRINK, so Jaccard preservation
+        # fails and every pair involving that copy is computed on
+        # rendered sets instead of via the fast replication path.
         self.vm = {0: {w: w for w in self.vocab}}
+        self.noninjective: set[int] = set()
         for k in range(1, copies):
             self.vm[k] = vocab_map(set(self.vocab), k)
-            assert len(set(self.vm[k].values())) == len(self.vocab), (
-                f"copy {k}: token bijection not injective"
-            )
-        # cross-copy agreement: for each ordered copy pair (i, j), the
-        # partial word map {w_i -> w_j : vm_i(w_i) == vm_j(w_j)}.
-        # Standard pairs agree exactly on the verbatim half; the rest
-        # are enumerated collisions.
+            if len(set(self.vm[k].values())) != len(self.vocab):
+                self.noninjective.add(k)
+        # cross-copy agreement: for each ordered copy pair (i, j), any
+        # rendered-value coincidence beyond the verbatim identity
+        # (vm_i(w1) == vm_j(w2) with w1 or w2 salted) flags the pair
+        # as SPECIAL — evaluated exactly on rendered sets. The
+        # relation may be non-functional (copy 159's 'the'->'dup'
+        # coincides with every copy's verbatim 'dup'), which is why
+        # special pairs are not evaluated through a word MAP at all.
         self.verbatim = {w for w in self.vocab if self._kept(w)}
         by_val: dict[str, list[tuple[int, str]]] = defaultdict(list)
         for k in range(copies):
             for w in self.vocab:
                 by_val[self.vm[k][w]].append((k, w))
-        self.extra: dict[tuple[int, int], dict[str, str]] = defaultdict(dict)
+        self.extra: dict[tuple[int, int], set[tuple[str, str]]] = (
+            defaultdict(set)
+        )
         for lst in by_val.values():
             if len(lst) < 2:
                 continue
@@ -108,10 +118,7 @@ class BaseCorpus:
                     continue
                 if w1 in self.verbatim and w2 in self.verbatim:
                     continue  # that's just the standard agreement
-                prev = self.extra[(i, j)].setdefault(w1, w2)
-                assert prev == w2, (
-                    f"copy pair {(i, j)}: non-functional collision map"
-                )
+                self.extra[(i, j)].add((w1, w2))
         # shingle sets (word 3-gram tuples) for the near-dup family
         self.shingles = {
             d: frozenset(
@@ -120,6 +127,9 @@ class BaseCorpus:
             for d, ts in self.tokens.items()
             if len(ts) >= 3
         }
+        self._rendered_cache: dict[tuple[int, int], frozenset] = {}
+        self._rsize_cache: dict[int, dict[int, int]] = {}
+        self._cands_cache: dict[tuple, list[int]] = {}
 
     @staticmethod
     def _kept(w: str) -> bool:
@@ -160,6 +170,106 @@ class BaseCorpus:
                 m += 1
         return m / (len(sa) + len(sb) - m) if m else 0.0
 
+    # -- rendered-set machinery (special copy pairs / non-injective) ----
+
+    def _rendered_set(self, k: int, d: int) -> frozenset:
+        """Doc d's shingle set as rendered by copy k (distinct rendered
+        trigram tuples — the set the ENGINE actually deduplicates on)."""
+        key = (k, d)
+        got = self._rendered_cache.get(key)
+        if got is None:
+            vm = self.vm[k]
+            got = frozenset(
+                tuple(vm[w] for w in s) for s in self.shingles[d]
+            )
+            self._rendered_cache[key] = got
+        return got
+
+    def _rsize(self, k: int, d: int) -> int:
+        """|rendered shingle set| — equals |base set| for injective
+        copies; computed (once per copy, all docs) otherwise."""
+        if k not in self.noninjective:
+            return len(self.shingles[d])
+        sizes = self._rsize_cache.get(k)
+        if sizes is None:
+            sizes = {
+                dd: len(self._rendered_set(k, dd)) for dd in self.shingles
+            }
+            self._rsize_cache[k] = sizes
+        return sizes[d]
+
+    def _cross_pairs_exact(
+        self, i: int, j: int, threshold: float
+    ) -> list[tuple[int, int, float]]:
+        """EXACT pair set between copy i docs (a-side) and copy j docs
+        (b-side) via rendered-set intersection — the general path for
+        special copy pairs, correct even when the agreement relation
+        is non-functional or a copy's map is non-injective.
+
+        Sound prefilter: a matched rendered shingle of A_i must be in
+        image(vm_j), so m <= |{s in S_a : words(s) subset D}| with
+        D = {w : vm_i(w) in image(vm_j)}, and J <= m/|render_i(S_a)|.
+        Symmetrically for the b-side."""
+        img_i = set(self.vm[i].values())
+        img_j = set(self.vm[j].values())
+        dom = {w for w in self.vocab if self.vm[i][w] in img_j}
+        ran = {w for w in self.vocab if self.vm[j][w] in img_i}
+
+        def cands(words: set[str], k: int) -> list[int]:
+            # identical across injective copies (rendered sizes equal
+            # base sizes there), so memoize on the words + the
+            # non-injective copy id (or -1)
+            key = (
+                tuple(sorted(words)),
+                k if k in self.noninjective else -1,
+                threshold,
+            )
+            got = self._cands_cache.get(key)
+            if got is not None:
+                return got
+            out = []
+            for d, s in self.shingles.items():
+                cnt = sum(1 for sh in s if set(sh) <= words)
+                if cnt / self._rsize(k, d) >= threshold:
+                    out.append(d)
+            self._cands_cache[key] = out
+            return out
+
+        out = []
+        for a in cands(dom, i):
+            ra = self._rendered_set(i, a)
+            for b in cands(ran, j):
+                rb = self._rendered_set(j, b)
+                m = len(ra & rb)
+                if not m:
+                    continue
+                jac = m / (len(ra) + len(rb) - m)
+                if jac >= threshold:
+                    out.append((a, b, jac))
+        return out
+
+    def _within_pairs_rendered(
+        self, k: int, threshold: float
+    ) -> list[tuple[int, int, float]]:
+        """Within-copy pairs of a NON-injective copy, by posting join
+        over its rendered shingle sets (the replication shortcut is
+        invalid there: merged shingles change Jaccard)."""
+        rsets = {d: self._rendered_set(k, d) for d in self.shingles}
+        postings: dict[tuple, list[int]] = defaultdict(list)
+        for d in sorted(rsets):
+            for sh in rsets[d]:
+                postings[sh].append(d)
+        inter = Counter()
+        for docs in postings.values():
+            for a, b in itertools.combinations(docs, 2):
+                inter[(a, b)] += 1
+        out = []
+        for (a, b), m in sorted(inter.items()):
+            jac = m / (len(rsets[a]) + len(rsets[b]) - m)
+            if jac >= threshold:
+                out.append((a, b, jac))
+        return out
+
     def _cross_pairs_for_map(
         self, wmap: dict[str, str], threshold: float
     ) -> list[tuple[int, int, float]]:
@@ -193,19 +303,31 @@ class BaseCorpus:
         enumerated cross-copy classes."""
         copies, stride = self.copies, DOC_STRIDE
         out: list[tuple[int, int, float]] = []
-        for a, b, j in self.base_pairs(threshold):
-            for k in range(copies):
-                out.append((a + k * stride, b + k * stride, j))
-        # standard cross-copy class: agreement == verbatim identity
-        std_map = {w: w for w in self.verbatim}
-        std = self._cross_pairs_for_map(std_map, threshold)
-        # std contains BOTH orientations of every a != b pair (and each
+        base = self.base_pairs(threshold)
+        for k in range(copies):
+            if k in self.noninjective:
+                # the replication shortcut is invalid here — merged
+                # shingles change within-copy Jaccard
+                for a, b, j in self._within_pairs_rendered(k, threshold):
+                    out.append((a + k * stride, b + k * stride, j))
+            else:
+                for a, b, j in base:
+                    out.append((a + k * stride, b + k * stride, j))
+        # standard cross-copy class: agreement == verbatim identity,
+        # both copies injective, no salted-rename coincidences. std
+        # contains BOTH orientations of every a != b pair (and each
         # a == b once), so iterating unordered copy pairs (i < j_)
         # covers (a_i, b_j) and (b_i, a_j); each id pair decodes to a
         # unique (base_a, copy_a, base_b, copy_b), so the set-dedup at
         # the end can never fold two different Jaccards together.
-        special = {
-            frozenset(kp) for kp in self.extra if max(kp) < copies
+        std_map = {w: w for w in self.verbatim}
+        std = self._cross_pairs_for_map(std_map, threshold)
+        special = {frozenset(kp) for kp in self.extra if max(kp) < copies}
+        special |= {
+            frozenset((k, j))
+            for k in self.noninjective
+            for j in range(copies)
+            if j != k
         }
         for i, j_ in itertools.combinations(range(copies), 2):
             if frozenset((i, j_)) in special:
@@ -213,16 +335,13 @@ class BaseCorpus:
             for a, b, j in std:
                 ida, idb = a + i * stride, b + j_ * stride
                 out.append((min(ida, idb), max(ida, idb), j))
-        # special copy pairs: full pair set under the extended map
-        for (i, j_), extra in self.extra.items():
-            if max((i, j_)) >= copies or i > j_:
-                # evaluate each unordered copy pair once, both
-                # orientations below
-                continue
+        # special copy pairs: exact rendered-set evaluation, both
+        # orientations (the relation may be non-functional, so no
+        # word-map shortcut applies)
+        for kp in sorted(tuple(sorted(s)) for s in special):
+            i, j_ = kp
             for (ci, cj) in ((i, j_), (j_, i)):
-                wmap = {w: w for w in self.verbatim}
-                wmap.update(self.extra.get((ci, cj), {}))
-                for a, b, j in self._cross_pairs_for_map(wmap, threshold):
+                for a, b, j in self._cross_pairs_exact(ci, cj, threshold):
                     ida, idb = a + ci * stride, b + cj * stride
                     if ida < idb:
                         out.append((ida, idb, j))
