@@ -125,10 +125,16 @@ def _inv_wordcount_closed_form(spark, sf_dir: str) -> tuple[bool, dict]:
         vocab.update(ws)
     copies = _copies(sf_dir)
     expected = Counter(base)  # copy 0 is verbatim
-    injective = True
+    noninjective = []
     for k in range(1, copies):
         vm = vocab_map(vocab, k)
-        injective &= len(set(vm.values())) == len(vocab)
+        if len(set(vm.values())) != len(vocab):
+            noninjective.append(k)
+        # the count push-through is exact whether or not the copy's
+        # map is injective (colliding words simply pool their counts,
+        # exactly as the rendered corpus does) — injectivity only
+        # matters for PAIR replication, which tools/sf10_expected.py
+        # handles separately
         for w, c in base.items():
             expected[vm[w]] += c
     got = {
@@ -136,15 +142,14 @@ def _inv_wordcount_closed_form(spark, sf_dir: str) -> tuple[bool, dict]:
         for r in QUERIES["wordcount"](spark, sf_dir).collect()
     }
     checks = {
-        "bijection_injective_all_copies": bool(injective),
+        "noninjective_copies": noninjective,
         "n_distinct_expected": len(expected),
         "n_distinct_got": len(got),
         "total_expected": sum(expected.values()),
         "total_got": sum(got.values()),
         "full_dict_equal": got == dict(expected),
     }
-    ok = injective and checks["full_dict_equal"]
-    return ok, checks
+    return checks["full_dict_equal"], checks
 
 
 def _inv_prefix_pairs_vs_reference(spark, sf_dir: str) -> tuple[bool, dict]:
@@ -343,6 +348,10 @@ def main() -> int:
         shuffle_partitions=64,
         extra_conf={
             "spark.driver.memory": "24g",
+            # sessionize's full-result compare collects ~28.6M rows at
+            # sf30 — the default 1g maxResultSize kills the collect,
+            # not the operator
+            "spark.driver.maxResultSize": "8g",
             "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
         },
     )
