@@ -431,14 +431,25 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 vs brute force >= 0.4 (observed 1.0 at every tested sf
     with m=16 — random unit vectors are PQ's hardest case, which is
     exactly why the deployed shortlist+rerank shape is the registered
-    operator rather than raw ADC top-k)."""
+    operator rather than raw ADC top-k).
+
+    The shortlist SCALES with the corpus (floor 100, ~1.25% of n):
+    the sf10 wide sweep caught a fixed shortlist=100 silently
+    shrinking from 5% of an sf0.1 corpus to 0.3% of sf10's 32k
+    vectors, where the rotated-replica corpus's contrast-free
+    neighborhoods (5th neighbor at cosine 0.441 vs 100th at 0.336)
+    dropped one probe's recall@5 below the floor. A re-rank set is a
+    corpus FRACTION budget, not a constant — at the measured
+    contrast, 1.25% keeps every probe green (10/10 at 32k vs 9/10
+    fixed)."""
     from mapreducewordoccurences_spark.functions.similarity import (
         pq_knn_rerank,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    approx = pq_knn_rerank(emb, queries, k=5, shortlist=100, m=16, ks=16)
+    shortlist = max(100, emb.count() // 80)
+    approx = pq_knn_rerank(emb, queries, k=5, shortlist=shortlist, m=16, ks=16)
     exact = brute_force_knn(emb, queries, k=5)
     return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
 
@@ -470,8 +481,12 @@ def q_embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
+    # shortlist scales with the corpus (see q_embedding_pq: a re-rank
+    # set is a fraction budget, not a constant — sf10 finding)
+    shortlist = max(100, emb.count() // 80)
     approx = ivfpq_knn(
-        emb, queries, k=5, nlist=16, nprobe=4, shortlist=100, m=16, ks=16
+        emb, queries, k=5, nlist=16, nprobe=4, shortlist=shortlist, m=16,
+        ks=16,
     )
     exact = brute_force_knn(emb, queries, k=5)
     return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
