@@ -661,7 +661,16 @@ def q_minhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     _EXACT_PAIRS_CTE.format(thr=0.8)
     + """
-    SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok FROM exact
+    , scored AS (
+      SELECT i / (x.n + y.n - i) AS j
+      FROM inter JOIN sizes x ON x.doc_id = doc_a
+                 JOIN sizes y ON y.doc_id = doc_b
+      WHERE i / (x.n + y.n - i) >= 0.8
+    )
+    SELECT count(*) AS n_exact_pairs,
+           count(*) FILTER (WHERE j >= 0.95) AS n_strong,
+           TRUE AS recall_ok
+    FROM scored
     """,
 )
 def q_simhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,8 +728,14 @@ def q_simhash_recall_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong = F.col("jaccard") >= 0.95
     n_strong = F.count(F.when(strong, 1))
     n_strong_hit = F.count(F.when(strong & F.col("__hit").isNotNull(), 1))
+    # n_strong is an OUTPUT column, hash-matched against the oracle's
+    # `count(*) FILTER (WHERE j >= 0.95)` — so the stratum size itself
+    # is cross-engine verified non-trivial. Without it the stratified
+    # gate is vacuously TRUE whenever the J>=0.95 stratum is empty, a
+    # blind spot the oracle compare could not see (r9 ADVICE).
     return marked.agg(
         F.count(F.lit(1)).alias("n_exact_pairs"),
+        n_strong.alias("n_strong"),
         ((n_strong == 0) | (n_strong_hit / n_strong >= 0.85)).alias(
             "recall_ok"
         ),

@@ -354,8 +354,14 @@ class BaseCorpus:
         same rendered token sequence). Rendered sequences materialized
         as numpy substitutions over vocab-index arrays."""
         copies, stride = self.copies, DOC_STRIDE
+        # int16, not int8: an int8 index wraps negative past 127 and
+        # lut[idx] would silently index from the END of the lut,
+        # corrupting the reference classes without any error. The
+        # base vocabulary is 31 words today, but this is the one
+        # model precondition that would fail silently rather than
+        # loudly, so remove it instead of asserting it.
         idx_arrays = {
-            d: np.array([self.word_idx[w] for w in ts], dtype=np.int8)
+            d: np.array([self.word_idx[w] for w in ts], dtype=np.int16)
             for d, ts in self.tokens.items()
         }
         # per copy: vocab index -> rendered token id (global interning)

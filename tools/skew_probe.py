@@ -1,7 +1,7 @@
 """Planted-skew probe: MEASURE the skew mitigations SCALE.md argues.
 
 Builds a pathologically skewed key on the sf10 events table (~10M
-rows; a deterministic half of all rows remapped to key 0, the rest
+rows; a deterministic 80% of all rows remapped to key 0, the rest
 keep their ~150k distinct user ids) and times:
 
 1. **Aggregation, algebraic (sum/count)** — naive groupBy vs
