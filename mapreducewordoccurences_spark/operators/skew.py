@@ -190,3 +190,50 @@ def heavy_hitters(
         .where(F.col(count_col) >= F.ceil(F.col("__total") * F.lit(float(min_share))))
         .drop("__total")
     )
+
+
+def skew_safe_confs(advisory_partition_bytes: int = 64 * 1024 * 1024) -> dict[str, str]:
+    """Session confs that make AQE's skew-join splitting actually fire,
+    encoding what the planted-skew probe measured (tools/skew_probe.py,
+    SKEW_r09.json) instead of leaving it in an artifact:
+
+    - ``skewedPartitionThresholdInBytes`` is pinned to 4x the advisory
+      partition size, NOT left at its absolute 256MB default. The
+      probe's 80%-hot key produced a ~240MB compressed hot partition —
+      "not skewed" under the default, ZERO AQE effect, a silent
+      straggler. The threshold is meaningful only relative to the
+      partition size you are coalescing toward; 4x preserves the
+      default's own 256MB/64MB ratio at any advisory size.
+    - ``skewedPartitionFactor`` stays at the 5.0 default (a partition
+      must also be 5x the median); listed explicitly so a cluster-side
+      override is visible in diffs rather than ambient.
+
+    Two probe findings CANNOT be encoded as confs and live here as the
+    operational contract instead:
+
+    1. Do not persist/cache a dimension aligned to the join key: the
+       cache carries its hashpartitioning, the join side then has no
+       ShuffleQueryStage, and OptimizeSkewedJoin (which must split and
+       duplicate shuffle stages) silently never fires. The probe's
+       first run measured zero AQE effect for exactly this reason.
+    2. Algebraic aggregations never need salting — partial->final
+       HashAggregate bounds any reducer at one row per (key, map
+       task); ``salted_agg`` is for shapes without map-side combine.
+
+    Usage: ``get_spark(extra_conf=skew_safe_confs())`` for a
+    skew-heavy job, or merge into an existing session via
+    ``spark.conf.set``. Plan-tested: tests/test_plans.py asserts
+    ``SortMergeJoin(skew=true)`` fires on the probe's planted shape
+    under these confs.
+    """
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            advisory_partition_bytes
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            4 * advisory_partition_bytes
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5.0",
+    }

@@ -828,3 +828,131 @@ def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("p_neighbor").alias("n_overlap"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index lifecycle rows (round 10, VERDICT r9 ask #2).
+#
+# Every other ANN row trains its index IN-QUERY — correct, but not the
+# 100 TB deployment shape, which is train-once / probe-many
+# (functions/similarity.py build_ivf_index:263 / build_ivfpq_index:860).
+# Until now that lifecycle was exercised only by pytest; these rows put
+# it under the oracle gate: build to a scratch path, probe the files,
+# and emit BOTH the family recall acceptance AND a `matches_inline`
+# boolean asserting the probe's (query_id, neighbor_id, rnk, sim)
+# output is row-for-row identical to the in-query composition —
+# deterministic because parquet round-trips ids and float vectors
+# exactly and both paths share the fixed-point k-means / codebooks.
+# Cell pruning on the probe scan is plan-tested
+# (tests/test_plans.py test_ivf_probe_prunes_partitions /
+# test_ivfpq_probe_prunes_partitions).
+# ---------------------------------------------------------------------------
+
+
+def _index_scratch(sf_dir: str, name: str) -> str:
+    """Scratch path for a persisted-index build, keyed by sf_dir so
+    sweeps at different scales never read each other's index. Lives
+    under the repo's gitignored .localdata/ (testdata is read-only)."""
+    import os
+    import re as _re
+
+    import mapreducewordoccurences_spark as _pkg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+    tag = _re.sub(r"[^A-Za-z0-9._-]+", "_", os.path.normpath(sf_dir)).strip("_")
+    return os.path.join(repo, ".localdata", "indexes", tag, name)
+
+
+def _probe_vs_inline(
+    probe_out: DataFrame, inline_out: DataFrame, exact: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """Shared shape of the two persisted-lifecycle rows: recall
+    acceptance of the PROBE output, plus a single cross-engine-checkable
+    boolean that the probe and the inline composition agree exactly.
+    The symmetric exceptAll is tiny (|queries| x k rows per side)."""
+    cols = ["query_id", "neighbor_id", "rnk", "sim"]
+    p, i = probe_out.select(*cols), inline_out.select(*cols)
+    n_diff = (
+        p.exceptAll(i)
+        .unionByName(i.exceptAll(p))
+        .agg(F.count(F.lit(1)).alias("__n_diff"))
+    )
+    acc = _knn_recall_acceptance(probe_out, exact, queries, k=5, min_recall=0.4)
+    return acc.crossJoin(F.broadcast(n_diff)).select(
+        "query_id",
+        "k",
+        "recall_ok",
+        (F.col("__n_diff") == 0).alias("matches_inline"),
+    )
+
+
+@register(
+    "embedding_ivf_persisted_topk",
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k,
+           TRUE AS recall_ok, TRUE AS matches_inline
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/probe-many IVF-flat: build_ivf_index writes the cell
+    assignment partitionBy(__cell); ivf_probe joins a broadcast probe
+    list on the partition column, so the scan reads nprobe/nlist of
+    the index files via dynamic partition pruning (plan-tested). The
+    probe must match the inline ivf_knn row-for-row AND clear the
+    family recall floor — the same index semantics, now gated through
+    the on-disk lifecycle a real cluster would run."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_knn,
+        ivf_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    path = _index_scratch(sf_dir, "ivf")
+    build_ivf_index(emb, path, nlist=16)
+    probe_out = ivf_probe(queries, path, k=5, nprobe=4)
+    inline_out = ivf_knn(emb, queries, k=5, nlist=16, nprobe=4)
+    exact = brute_force_knn(emb, queries, k=5)
+    return _probe_vs_inline(probe_out, inline_out, exact, queries)
+
+
+@register(
+    "embedding_ivfpq_persisted_topk",
+    """
+    SELECT vec_id AS query_id, CAST(5 AS INT) AS k,
+           TRUE AS recall_ok, TRUE AS matches_inline
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/probe-many IVF∘PQ (IVFADC): build_ivfpq_index
+    persists centroids, PQ codebooks, cell-partitioned codes, and the
+    id-keyed vector store; ivfpq_probe ADC-scans only the probed
+    cells' code files (dynamic partition pruning, plan-tested) and
+    re-ranks a corpus-fraction shortlist from full vectors. The probe
+    must match the inline ivfpq_knn row-for-row AND clear the family
+    recall floor. This is the layout the 100 TB story actually
+    deploys — codes in RAM-sized files, vectors fetched id-keyed."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_knn,
+        ivfpq_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    shortlist = max(100, emb.count() // 80)
+    path = _index_scratch(sf_dir, "ivfpq")
+    build_ivfpq_index(emb, path, nlist=16, m=16, ks=16)
+    probe_out = ivfpq_probe(
+        queries, path, k=5, nprobe=4, shortlist=shortlist, m=16
+    )
+    inline_out = ivfpq_knn(
+        emb, queries, k=5, nlist=16, nprobe=4, shortlist=shortlist, m=16,
+        ks=16,
+    )
+    exact = brute_force_knn(emb, queries, k=5)
+    return _probe_vs_inline(probe_out, inline_out, exact, queries)

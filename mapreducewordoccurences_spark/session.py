@@ -9,6 +9,17 @@ Defaults are chosen for the 100 TB design point:
 - AQE on (runtime coalescing, skew-join splitting, join re-planning)
 - Arrow on (vectorized Python interop for the pandas-UDF operators)
 - UTC session timezone (deterministic timestamp semantics)
+
+Skew: AQE's skew-join split is ON here but its 256MB
+``skewedPartitionThresholdInBytes`` default can silently not fire
+(the planted-skew probe's ~240MB hot partition measured ZERO AQE
+effect — SKEW_r09.json). For skew-heavy jobs pass
+``extra_conf=operators.skew.skew_safe_confs()``, which pins the
+threshold to 4x the advisory partition size and documents the two
+non-conf lessons (never persist a dim aligned to the join key;
+algebraic aggs don't need salting). Not folded into _DEFAULTS:
+retuning advisory sizes globally would reshape every query's AQE
+coalescing, and the right advisory size is job- and scale-specific.
 """
 
 from __future__ import annotations

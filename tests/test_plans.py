@@ -510,3 +510,49 @@ def test_catalog_global_windows_only_on_bounded_axes(spark):
                 f"{name}: expected bounded-axis marker {marker!r} in {inputs}"
             )
     assert not offenders, offenders
+
+
+def test_skew_safe_confs_fire_on_planted_shape(spark):
+    """skew_safe_confs must make OptimizeSkewedJoin actually split the
+    planted 80%-hot-key join — the probe's finding (SKEW_r09.json) was
+    that the DEFAULT 256MB threshold silently does nothing; this pins
+    the conf contract (threshold = 4x advisory) as an executed-plan
+    assertion, scaled to test size via a small advisory."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordoccurences_spark.operators.skew import skew_safe_confs
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            *skew_safe_confs(),
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        for k, v in skew_safe_confs(advisory_partition_bytes=16 * 1024).items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the probe's planted shape: 80% of rows remapped to key 0,
+        # joined against a non-broadcastable distinct-key dim
+        left = spark.range(0, 300_000).select(
+            F.when(F.pmod(F.xxhash64("id"), F.lit(5)) < 4, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        right = spark.range(0, 3_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("w")
+        )
+        joined = left.join(right, "k")
+        rows = joined.collect()  # finalize THIS frame's adaptive plan
+        assert len(rows) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
