@@ -13,12 +13,17 @@ stdlib ``zlib`` + ``struct`` (``png_encode`` / ``_png_meta`` /
 ``_png_pixels`` — CRC-checked chunks, deflated filtered scanlines,
 spec-complete APNG for multi-frame clips), mirroring the audio
 tier's stdlib-``wave`` path: genuine bit-format round-trips with
-zero native deps. The engine's legacy self-describing test header
-(``fake_image_bytes``) still parses first (constant-time, used by
-corrupt-path tests), and Pillow remains a try-import fallback for
-OTHER formats (JPEG/GIF) — absent Pillow those yield NULL
-dims/features, the same graceful path corrupt bytes take, so jobs
-never fail on codec availability. The Spark-side contract — schemas,
+zero native deps. JPEG — the format most of a real training corpus
+arrives in — is handled by a vendored baseline codec
+(multimodal/jpeg.py: full Huffman/DCT decode incl. 4:2:0 and restart
+markers, encoder for planted corpora; r10, cross-validated against
+javax.imageio in tests/test_jpeg.py). The engine's legacy
+self-describing test header (``fake_image_bytes``) still parses
+first (constant-time, used by corrupt-path tests), and Pillow
+remains a try-import fallback for the REMAINING formats (GIF/TIFF/
+progressive JPEG) — absent Pillow those yield NULL dims/features,
+the same graceful path corrupt bytes take, so jobs never fail on
+codec availability. The Spark-side contract — schemas,
 batch iteration, partitioning, UDF signatures — is identical on
 every path. Video (ffmpeg) remains header-driven: frame COUNTS fan
 out rows; attaching real frame bytes would slot into the same
@@ -395,12 +400,39 @@ def _real_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
 
 def _any_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
     """Fake-header first (cheap constant-time parse), then the stdlib
-    PNG/APNG codec, then Pillow for other formats."""
+    PNG/APNG codec, then the vendored baseline JPEG codec
+    (multimodal/jpeg.py — r10, so a mostly-JPEG corpus no longer
+    yields NULL dims on a Pillow-less cluster), then Pillow for the
+    remaining formats (GIF/TIFF/...)."""
+    from mapreducewordoccurences_spark.multimodal.jpeg import jpeg_meta  # noqa: PLC0415
+
     return (
         _parse_header(payload)
         or _png_meta(payload)
+        or jpeg_meta(payload)
         or _real_image_meta(payload)
     )
+
+
+def _any_image_pixels(payload: bytes | None) -> tuple[tuple[int, int, int, int], bytes] | None:
+    """((w, h, channels, n_frames), interleaved 8-bit pixels) through
+    whichever vendored codec claims the payload — PNG/APNG first, then
+    baseline JPEG. None when neither decodes (corrupt, exotic format,
+    progressive JPEG): callers take the NULL path, never fail."""
+    from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
+        jpeg_meta,
+        jpeg_pixels,
+    )
+
+    meta = _png_meta(payload)
+    if meta is not None:
+        px = _png_pixels(payload)
+        return None if px is None else (meta, px)
+    meta = jpeg_meta(payload)
+    if meta is not None:
+        px = jpeg_pixels(payload)
+        return None if px is None else (meta, px)
+    return None
 
 
 def make_fake_media(df: DataFrame, id_col: str = "doc_id", kind: str = "image") -> DataFrame:
@@ -820,16 +852,16 @@ DHASH_SCHEMA = T.StructType(
 
 
 def _dhash_one(payload: bytes | None, hash_w: int, hash_h: int) -> int | None:
-    """64-bit dHash of one encoded image through the stdlib codec
-    (decode → integer grayscale → NN-resample → adjacent-column
-    bits), or None when the bytes don't decode."""
+    """64-bit dHash of one encoded image through the vendored codecs
+    (PNG/APNG or baseline JPEG: decode → integer grayscale →
+    NN-resample → adjacent-column bits), or None when the bytes
+    don't decode."""
     import numpy as np  # noqa: PLC0415 — worker-side
 
-    meta = _png_meta(payload)
-    px = _png_pixels(payload)
-    if meta is None or px is None:
+    decoded = _any_image_pixels(payload)
+    if decoded is None:
         return None
-    w, h, ch, _ = meta
+    (w, h, ch, _), px = decoded
     arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
     # integer grayscale: channel mean via exact int division — a
     # uniform per-channel shift delta stays a uniform gray shift
@@ -1187,6 +1219,262 @@ def make_planted_dup_clips(
                     "payload": payloads,
                     "meta": [
                         {"source": "synthetic", "mime": "image/apng", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG planted corpora (round 10) — the vendored baseline codec
+# (multimodal/jpeg.py) closes the media tier's availability hole: a
+# real training corpus is mostly JPEG, and until r10 a Pillow-less
+# cluster yielded NULL dims/features for every JPEG payload.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_noise_pixels(pattern_id: int, side: int) -> bytes:
+    """Per-id seeded uniform grayscale noise (the PNG planted corpus's
+    pattern family — distinct ids collide on a 64-bit dHash with
+    probability ~2^-64)."""
+    import numpy as np  # noqa: PLC0415
+
+    seed = (int(pattern_id) * 2654435761) % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, side * side).astype(np.uint8).tobytes()
+
+
+def _jpeg_smooth_pixels(pattern_id: int, side: int) -> bytes:
+    """Per-id seeded smooth low-frequency field (sum of 4 random 2-D
+    cosines): the JPEG-FRIENDLY pattern family — quality re-encoding
+    moves its dHash by ≤5 bits (measured across 120 ids at q90 vs
+    q75) while distinct ids stay ~32 bits apart."""
+    import numpy as np  # noqa: PLC0415
+
+    seed = (int(pattern_id) * 2654435761) % (2**32)
+    rng = np.random.RandomState(seed)
+    xx, yy = np.meshgrid(np.arange(side), np.arange(side))
+    img = np.full((side, side), 128.0)
+    for _ in range(4):
+        fx, fy = rng.uniform(0.3, 2.0, 2)
+        ph1, ph2 = rng.uniform(0, 2 * np.pi, 2)
+        amp = rng.uniform(25, 45)
+        img += (
+            amp
+            * np.cos(2 * np.pi * fx * xx / side + ph1)
+            * np.cos(2 * np.pi * fy * yy / side + ph2)
+        )
+    return np.clip(img, 5, 250).astype(np.uint8).tobytes()
+
+
+def make_planted_dup_jpegs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    period: int = 10,
+    side: int = 32,
+    quality: int = 85,
+) -> DataFrame:
+    """Grayscale JPEG corpus with planted BYTE-DISTINCT duplicates:
+    every id with ``id % period == 1`` encodes the SAME pixels as
+    ``id - 1`` but with a restart interval (DRI + RSTn markers, reset
+    DC predictors) — a genuinely different entropy stream that decodes
+    bit-identically (property-tested), so its dHash equals its
+    source's exactly while byte-level dedup can never pair them. This
+    is the JPEG twin of the PNG corpus's non-wrapping brightness
+    shift: an EXACT invariance, closed-form oracle, no recall
+    tolerance needed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % period == 1:
+                    payloads.append(
+                        jpeg_encode(
+                            side, side, 1, _jpeg_noise_pixels(i - 1, side),
+                            quality=quality, restart_interval=4,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        jpeg_encode(
+                            side, side, 1, _jpeg_noise_pixels(i, side),
+                            quality=quality,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "image/jpeg", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def make_requant_dup_jpegs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    period: int = 10,
+    side: int = 32,
+) -> DataFrame:
+    """Smooth-pattern JPEG corpus with planted QUALITY-RE-ENCODED
+    duplicates: ids with ``id % period == 1`` carry the pixels of
+    ``id - 1`` re-encoded at quality 75 instead of 90 — the classic
+    real-corpus near-dup (same image, different compression), where
+    the decoded pixels genuinely differ and only a Hamming-tolerant
+    perceptual match can pair them."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % period == 1:
+                    payloads.append(
+                        jpeg_encode(
+                            side, side, 1, _jpeg_smooth_pixels(i - 1, side),
+                            quality=75,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        jpeg_encode(
+                            side, side, 1, _jpeg_smooth_pixels(i, side),
+                            quality=90,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "image/jpeg", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def hamming_hash_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_distance: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """(doc_a < doc_b, hamming) pairs within a Hamming ball over a
+    64-bit perceptual hash — the dedup/simhash.py pigeonhole applied
+    to the media tier: k = d+1 blocks, any qualifying pair collides on
+    ≥1 whole block (recall 1.0 by construction), equi-join per block,
+    exact bit_count(xor) verification. Same scale contract as simhash:
+    block width bits/(d+1) sets selectivity; keep d ≤ 8 on big data."""
+    k = max_distance + 1
+    fps = hashes.persist()
+    bounds = [(bits * i) // k for i in range(k + 1)]
+
+    def block(col, i: int):
+        lo, hi = bounds[i], bounds[i + 1]
+        width = hi - lo
+        return F.shiftright(col, lo).bitwiseAND(F.lit((1 << width) - 1))
+
+    blocked = fps.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(
+            F.array(*[block(F.col(hash_col), i) for i in range(k)])
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(hash_col).alias("__fa"),
+        "block_idx",
+        "block_val",
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(hash_col).alias("__fb"),
+        "block_idx",
+        "block_val",
+    )
+    dist = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        a.join(b, on=["block_idx", "block_val"], how="inner")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+    )
+
+
+def make_fake_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG corpus exercising every encoder/decoder
+    branch: dims vary per id (16+id%48 x 16+7id%40), odd ids are
+    grayscale, even ids are 4:2:0-subsampled color, and every 4th id
+    carries restart markers. Pixels are cheap closed-form gradients,
+    so dims/channels oracles stay arithmetic while the payloads are
+    genuine baseline JFIF streams."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
+            jpeg_encode,
+        )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 16 + i % 48, 16 + (i * 7) % 40
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                base = (xx * 3 + yy * 5 + i) % 200 + 20
+                rst = 4 if i % 4 == 0 else 0
+                if i % 2 == 1:
+                    px = base.astype(np.uint8).tobytes()
+                    payloads.append(
+                        jpeg_encode(w, h, 1, px, quality=85, restart_interval=rst)
+                    )
+                else:
+                    rgb = np.stack(
+                        [base, (base + 40) % 220 + 20, (base + 80) % 220 + 20],
+                        axis=2,
+                    ).astype(np.uint8)
+                    payloads.append(
+                        jpeg_encode(
+                            w, h, 3, rgb.tobytes(), quality=85,
+                            subsample=True, restart_interval=rst,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "image/jpeg", "bytes": len(p)}
                         for p in payloads
                     ],
                 }

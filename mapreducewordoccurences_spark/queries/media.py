@@ -269,3 +269,140 @@ def q_media_video_clip_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG tier (round 10) — the vendored baseline codec
+# (multimodal/jpeg.py) under the oracle gate. Reference corpora are
+# mostly JPEG; before r10, a Pillow-less cluster silently NULLed
+# every JPEG payload's dims/features.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_jpeg_dims",
+    # make_fake_jpeg_media's dims/channels are closed-form in doc_id;
+    # the Spark side must push every payload through a REAL JFIF
+    # encode (gray + 4:2:0 color + restart markers) and re-derive the
+    # histogram from the SOF headers via the vendored decoder
+    """
+    SELECT CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 40 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+           count(*) AS n_images
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_media_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG plumbing end-to-end on a Pillow-less cluster: synthesize
+    genuine baseline JFIF payloads (grayscale, 4:2:0 color, restart
+    markers — multimodal/jpeg.py jpeg_encode), decode dims/channels
+    back through the vendored SOF parser in Arrow-batched
+    mapInPandas, and aggregate a dims histogram the oracle predicts
+    arithmetically. Any container break (marker framing, SOF layout,
+    component parsing) diverges the hash."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        decode_image_meta,
+        make_fake_jpeg_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    meta = decode_image_meta(make_fake_jpeg_media(docs))
+    return meta.groupBy("width", "height", "channels").agg(
+        F.count(F.lit(1)).alias("n_images")
+    )
+
+
+@register(
+    "media_jpeg_dhash_pairs",
+    # planted BYTE-DISTINCT duplicates: ids with id % 10 == 1 encode
+    # the same pixels as id - 1 under a different entropy stream
+    # (restart markers reset DC prediction), which decodes
+    # bit-identically — dHash equality pairing IS the planted list
+    """
+    SELECT d.doc_id - 1 AS doc_a, d.doc_id AS doc_b
+    FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 1
+    WHERE d.doc_id % 10 = 1
+    """,
+)
+def q_media_jpeg_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over REAL JPEG bytes: the planted copies
+    are different byte streams (DRI/RSTn entropy restarts) of the
+    same pixels, so byte-level dedup can never pair them while the
+    full decode → dHash → exact-groupBy pipeline pairs them exactly
+    (restart-variant decode equality is property-tested in
+    tests/test_jpeg.py). Same 100 TB shape as the PNG row: map-only
+    fingerprint pass, (id, hash) shuffle, binary payloads never
+    move."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        dhash_images,
+        make_planted_dup_jpegs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = dhash_images(make_planted_dup_jpegs(docs)).filter(
+        F.col("dhash").isNotNull()
+    )
+    a = h.select(F.col("media_id").alias("doc_a"), "dhash")
+    b = h.select(F.col("media_id").alias("doc_b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
+    "media_jpeg_requant_recall",
+    # the acceptance contract of the Hamming-tolerant tier on a
+    # deterministic 400-doc panel: n_planted is closed-form; recall
+    # of the planted quality-re-encoded pairs must clear 0.9
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+    FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 1
+    WHERE d.doc_id % 10 = 1 AND d.doc_id < 400
+    """,
+)
+def q_media_jpeg_requant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-corpus JPEG near-dup: same image re-encoded at a
+    different quality (75 vs 90) — decoded pixels genuinely differ,
+    so pairing needs the Hamming-tolerant tier
+    (multimodal/media.py hamming_hash_pairs, the simhash pigeonhole
+    over dHash, d ≤ 8). Measured on the smooth-pattern family: copy
+    distance ≤ 5 across 120 ids, distinct patterns ~32 bits apart —
+    the d=8 ball pairs every planted copy with margin. Panel-scoped
+    (doc_id < 400) like the SemDeDup recall audit: the acceptance is
+    a property of the codec+hash geometry, not of corpus size, and
+    the ball join's selectivity floor (7-bit blocks) does not need
+    scale exercise here — dedup_simhash_pairs covers that shape."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        dhash_images,
+        hamming_hash_pairs,
+        make_requant_dup_jpegs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    h = dhash_images(make_requant_dup_jpegs(docs)).filter(
+        F.col("dhash").isNotNull()
+    )
+    found = hamming_hash_pairs(h, max_distance=8).select(
+        "doc_a", "doc_b", F.lit(1).alias("__hit")
+    )
+    planted = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where((F.col("doc_id") % 10 == 1) & (F.col("doc_id") < 400))
+        .select(
+            (F.col("doc_id") - 1).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    marked = planted.join(found, ["doc_a", "doc_b"], "left")
+    n = F.count(F.lit(1))
+    return marked.agg(
+        n.alias("n_planted"),
+        ((n == 0) | (F.count("__hit") / n >= 0.9)).alias("recall_ok"),
+    )

@@ -1,0 +1,254 @@
+"""Vendored baseline JPEG codec (multimodal/jpeg.py) — round-trips,
+graceful failure paths, the planted-corpus invariances the r10 oracle
+rows rely on, and CROSS-IMPLEMENTATION validation against the JVM's
+javax.imageio (reached through Spark's own py4j gateway — the second
+independent codec VERDICT r9 ask #8 wanted, with zero new deps: both
+directions for JPEG, and a lossless round-trip for the PNG codec that
+three earlier oracle rows already lean on)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreducewordoccurences_spark.multimodal.jpeg import (
+    jpeg_encode,
+    jpeg_meta,
+    jpeg_pixels,
+)
+from mapreducewordoccurences_spark.multimodal.media import (
+    _png_meta,
+    _png_pixels,
+    png_encode,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 99.0 if mse == 0 else float(10 * np.log10(255.0**2 / mse))
+
+
+def _gradient(w: int, h: int) -> np.ndarray:
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return ((xx * 3 + yy * 5) % 200 + 20).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python round-trips (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_gray_roundtrip_psnr_and_dims():
+    w, h = 37, 29  # deliberately not multiples of 8
+    img = _gradient(w, h)
+    p = jpeg_encode(w, h, 1, img.tobytes(), quality=90)
+    assert jpeg_meta(p) == (w, h, 1, 1)
+    px = jpeg_pixels(p)
+    assert len(px) == w * h
+    assert _psnr(img, np.frombuffer(px, np.uint8).reshape(h, w)) > 38
+
+
+def test_color_444_roundtrip():
+    w, h = 24, 17
+    base = _gradient(w, h)
+    rgb = np.stack(
+        [base, ((base.astype(int) + 40) % 256).astype(np.uint8),
+         ((base.astype(int) + 80) % 256).astype(np.uint8)],
+        axis=2,
+    )
+    p = jpeg_encode(w, h, 3, rgb.tobytes(), quality=92)
+    assert jpeg_meta(p) == (w, h, 3, 1)
+    px = jpeg_pixels(p)
+    assert len(px) == w * h * 3
+    assert _psnr(rgb, np.frombuffer(px, np.uint8).reshape(h, w, 3)) > 28
+
+
+def test_color_420_subsampled_roundtrip():
+    w, h = 33, 31  # odd dims force chroma edge replication
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack(
+        [
+            (80 + 60 * np.cos(2 * np.pi * xx / w)).astype(np.uint8),
+            (120 + 50 * np.cos(2 * np.pi * yy / h)).astype(np.uint8),
+            np.full((h, w), 90, np.uint8),
+        ],
+        axis=2,
+    )
+    p = jpeg_encode(w, h, 3, rgb.tobytes(), quality=90, subsample=True)
+    assert jpeg_meta(p) == (w, h, 3, 1)
+    px = jpeg_pixels(p)
+    assert len(px) == w * h * 3
+    # smooth chroma → subsampling loses little on this family
+    assert _psnr(rgb, np.frombuffer(px, np.uint8).reshape(h, w, 3)) > 28
+
+
+def test_restart_markers_roundtrip_and_exact_variant_invariance():
+    """The media_jpeg_dhash_pairs oracle premise: the SAME pixels
+    encoded with and without restart intervals are different byte
+    streams that decode bit-identically."""
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        px = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+        a = jpeg_encode(32, 32, 1, px.tobytes(), quality=85)
+        b = jpeg_encode(32, 32, 1, px.tobytes(), quality=85, restart_interval=4)
+        assert a != b
+        assert jpeg_pixels(a) == jpeg_pixels(b)
+
+
+def test_corrupt_and_foreign_bytes_return_none():
+    assert jpeg_meta(None) is None
+    assert jpeg_meta(b"") is None
+    assert jpeg_meta(b"notajpeg") is None
+    assert jpeg_pixels(b"\xff\xd8\x00garbage") is None
+    img = _gradient(16, 16)
+    p = jpeg_encode(16, 16, 1, img.tobytes())
+    assert jpeg_pixels(p[:40]) is None  # truncated mid-headers
+    # truncated mid-entropy: reader hits EOF -> graceful None
+    assert jpeg_pixels(p[:-8]) is None or isinstance(jpeg_pixels(p[:-8]), bytes)
+    # PNG bytes are not a JPEG
+    png = png_encode(8, 8, 1, 1, frames=[bytes(64)])
+    assert jpeg_meta(png) is None
+
+
+def test_progressive_sof2_meta_yes_pixels_no():
+    """Dims must come back from ANY SOFn (corpus profiling keeps the
+    row); the pixel path serves baseline only."""
+    img = _gradient(16, 16)
+    p = bytearray(jpeg_encode(16, 16, 1, img.tobytes()))
+    i = p.find(b"\xff\xc0")
+    assert i > 0
+    p[i + 1] = 0xC2  # relabel SOF0 -> SOF2 (progressive)
+    assert jpeg_meta(bytes(p)) == (16, 16, 1, 1)
+    assert jpeg_pixels(bytes(p)) is None
+
+
+def test_quality_monotonic_size_and_error():
+    img = _gradient(48, 48)
+    sizes, errs = [], []
+    for q in (50, 75, 95):
+        p = jpeg_encode(48, 48, 1, img.tobytes(), quality=q)
+        sizes.append(len(p))
+        dec = np.frombuffer(jpeg_pixels(p), np.uint8).reshape(48, 48)
+        errs.append(np.abs(dec.astype(int) - img.astype(int)).mean())
+    assert sizes == sorted(sizes)
+    assert errs == sorted(errs, reverse=True)
+
+
+def test_encoder_determinism():
+    img = _gradient(32, 24)
+    a = jpeg_encode(32, 24, 1, img.tobytes(), quality=85)
+    b = jpeg_encode(32, 24, 1, img.tobytes(), quality=85)
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# cross-implementation: javax.imageio through the Spark JVM
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def imageio(spark):
+    """Bridge to the JVM's ImageIO: decode-any-to-PNG and
+    encode-PNG-to-JPEG, whole byte arrays across py4j only."""
+    jvm = spark._jvm
+
+    class Bridge:
+        def decode_to_png(self, payload: bytes) -> bytes | None:
+            img = jvm.javax.imageio.ImageIO.read(
+                jvm.java.io.ByteArrayInputStream(payload)
+            )
+            if img is None:
+                return None
+            baos = jvm.java.io.ByteArrayOutputStream()
+            if not jvm.javax.imageio.ImageIO.write(img, "png", baos):
+                return None
+            return bytes(baos.toByteArray())
+
+        def png_to_jpeg(self, png: bytes) -> bytes | None:
+            img = jvm.javax.imageio.ImageIO.read(
+                jvm.java.io.ByteArrayInputStream(png)
+            )
+            if img is None:
+                return None
+            baos = jvm.java.io.ByteArrayOutputStream()
+            if not jvm.javax.imageio.ImageIO.write(img, "jpeg", baos):
+                return None
+            return bytes(baos.toByteArray())
+
+    return Bridge()
+
+
+def _png_gray_pixels(png: bytes) -> np.ndarray:
+    w, h, ch, _ = _png_meta(png)
+    arr = np.frombuffer(_png_pixels(png), np.uint8).reshape(h, w, ch)
+    return arr[:, :, 0] if ch > 1 else arr.reshape(h, w)
+
+
+def test_imageio_decodes_our_jpeg_to_same_pixels(imageio):
+    """Two independent conforming decoders may differ by IDCT rounding
+    only: assert max |Δ| ≤ 1 gray level against javax.imageio."""
+    for w, h, q in [(37, 29, 90), (16, 16, 75), (64, 40, 95)]:
+        img = _gradient(w, h)
+        p = jpeg_encode(w, h, 1, img.tobytes(), quality=q)
+        png = imageio.decode_to_png(p)
+        assert png is not None, "ImageIO rejected our JFIF stream"
+        theirs = _png_gray_pixels(png)
+        ours = np.frombuffer(jpeg_pixels(p), np.uint8).reshape(h, w)
+        assert int(np.abs(theirs.astype(int) - ours.astype(int)).max()) <= 1
+
+
+def test_imageio_decodes_our_420_color(imageio):
+    w, h = 32, 24
+    base = _gradient(w, h)
+    rgb = np.stack([base, base, base], axis=2)  # gray-in-color: chroma flat
+    p = jpeg_encode(w, h, 3, rgb.tobytes(), quality=90, subsample=True)
+    png = imageio.decode_to_png(p)
+    assert png is not None
+    pw, ph, pch, _ = _png_meta(png)
+    assert (pw, ph) == (w, h)
+    theirs = np.frombuffer(_png_pixels(png), np.uint8).reshape(h, w, pch)
+    assert _psnr(rgb[:, :, 0], theirs[:, :, 0]) > 30
+
+
+def test_our_decoder_reads_imageio_encoded_jpeg(imageio):
+    """Real-world-encoder coverage: javax.imageio's writer (libjpeg
+    lineage — its own table choices, sampling factors, marker layout)
+    must decode through the vendored baseline path."""
+    w, h = 40, 32
+    img = _gradient(w, h)
+    jp = imageio.png_to_jpeg(png_encode(w, h, 1, 1, frames=[img.tobytes()]))
+    assert jp is not None
+    meta = jpeg_meta(jp)
+    assert meta is not None and meta[0] == w and meta[1] == h
+    px = jpeg_pixels(jp)
+    assert px is not None, "vendored decoder rejected an ImageIO stream"
+    ncomp = meta[2]
+    dec = np.frombuffer(px, np.uint8).reshape(h, w, ncomp)[:, :, 0] \
+        if ncomp > 1 else np.frombuffer(px, np.uint8).reshape(h, w)
+    assert _psnr(img, dec) > 30
+
+
+def test_png_codec_roundtrip_vs_imageio_bitexact(imageio):
+    """VERDICT r9 ask #8: the load-bearing stdlib PNG codec validated
+    against a second implementation — lossless both directions, so the
+    comparison is EXACT equality, across dims/channels including the
+    odd sizes and the per-id randomized content the planted corpora
+    use."""
+    rng = np.random.RandomState(1234)
+    cases = [(1, 1, 1), (8, 8, 1), (37, 29, 1), (33, 31, 3), (16, 5, 4),
+             (5, 16, 2), (64, 3, 3)]
+    for w, h, ch in cases:
+        px = rng.randint(0, 256, w * h * ch).astype(np.uint8).tobytes()
+        ours = png_encode(w, h, ch, 1, frames=[px])
+        back = imageio.decode_to_png(ours)
+        assert back is not None, f"ImageIO rejected our PNG ({w}x{h}x{ch})"
+        bw, bh, bch, _ = _png_meta(back)
+        assert (bw, bh) == (w, h)
+        got = np.frombuffer(_png_pixels(back), np.uint8).reshape(h, w, bch)
+        want = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+        if bch == ch:
+            assert (got == want).all(), f"pixel mismatch ({w}x{h}x{ch})"
+        else:
+            # ImageIO may expand gray+alpha/palette layouts; compare the
+            # leading channels it preserved
+            assert (got[:, :, :ch] == want).all()

@@ -148,6 +148,11 @@ def main() -> int:
 
     tree_a, tree_b = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    # target a specific delta (e.g. one flagged sf1 row) instead of the
+    # full headline: SPARK_GRAFT_AB_QUERIES=dedup_ngram_jaccard,...
+    only = os.environ.get("SPARK_GRAFT_AB_QUERIES")
+    if only:
+        HEADLINE[:] = [q.strip() for q in only.split(",") if q.strip()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
