@@ -75,6 +75,11 @@ SF1_CORE = [
     "media_audio_fingerprint_pairs",
     "media_video_clip_dhash_pairs",
     "near_dup_cross_source_matrix",
+    # round-10 additions (vendored JPEG tier + the persisted ANN
+    # lifecycle; NEW rows — the per-query gate diffs by name, so
+    # additions don't perturb existing baselines)
+    "media_jpeg_dhash_pairs",
+    "embedding_ivfpq_persisted_topk",
 ]
 
 

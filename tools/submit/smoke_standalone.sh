@@ -14,7 +14,9 @@ SF_DIR="${1:-/root/testdata/sf0.001}"
 QUERIES="wordcount,dedup_exact"
 PORT=7077
 WEBUI=8089
-export SPARK_NO_DAEMONIZE=""   # default daemonize
+# NB: do NOT export SPARK_NO_DAEMONIZE (spark-daemon.sh tests
+# ${SPARK_NO_DAEMONIZE+set} — even an empty export forces foreground)
+unset SPARK_NO_DAEMONIZE || true
 export SPARK_LOG_DIR=/tmp/spark-standalone-logs
 export SPARK_PID_DIR=/tmp/spark-standalone-pids
 mkdir -p "$SPARK_LOG_DIR" "$SPARK_PID_DIR"
