@@ -301,6 +301,11 @@ PYTHON_ALLOWED = {
     "media_image_dhash_pairs",
     "media_audio_fingerprint_pairs",
     "media_video_clip_dhash_pairs",
+    # r10 JPEG tier: vendored-codec encode/decode + dHash, same
+    # Arrow-batched contract as the PNG rows
+    "media_jpeg_dims",
+    "media_jpeg_dhash_pairs",
+    "media_jpeg_requant_recall",
     # bounded per-partition Space-Saving summary (constant memory,
     # vectorized pandas value_counts) — the candidate phase of the
     # exact heavy-hitter pattern is Python by design
