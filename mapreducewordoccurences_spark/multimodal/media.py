@@ -72,6 +72,23 @@ IMAGE_META_SCHEMA = T.StructType(
     ]
 )
 
+def _cpu_partitions(ids: DataFrame) -> DataFrame:
+    """Repartition an id frame to the session's full parallelism
+    before CPU-bound mapInPandas generation.
+
+    Found by the r10 sf1 bench: a synthetic-media generator inherits
+    the parquet SCAN's partitioning, which is sized for IO
+    (maxPartitionBytes) — at sf1 the documents file yields TWO input
+    splits, so a 500k-image pure-Python encode+decode chain ran on
+    one or two cores while 30 idled (the JPEG row sat at ~30 min/rep
+    single-core vs ~55 s at full width). The shuffle this inserts
+    moves only 8-byte ids — nothing against the decode CPU it
+    unlocks; every downstream mapInPandas (decode/dHash/featurize)
+    inherits the widened partitioning, payloads still never shuffle."""
+    spark = ids.sparkSession
+    return ids.repartition(spark.sparkContext.defaultParallelism)
+
+
 _MAGIC = b"FAKEIMG1"
 _HEADER = struct.Struct("<8sHHBB")  # magic, width, height, channels, n_frames
 
@@ -477,7 +494,7 @@ def make_fake_media(df: DataFrame, id_col: str = "doc_id", kind: str = "image") 
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def decode_image_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
@@ -778,7 +795,7 @@ def make_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def decode_audio_meta(
@@ -957,7 +974,7 @@ def make_planted_dup_images(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1095,7 +1112,7 @@ def make_planted_dup_audio(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1224,7 +1241,7 @@ def make_planted_dup_clips(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1322,7 +1339,7 @@ def make_planted_dup_jpegs(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def make_requant_dup_jpegs(
@@ -1374,7 +1391,7 @@ def make_requant_dup_jpegs(
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def hamming_hash_pairs(
@@ -1480,4 +1497,4 @@ def make_fake_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
