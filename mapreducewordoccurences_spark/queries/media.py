@@ -163,7 +163,7 @@ def q_media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     h = dhash_images(make_planted_dup_images(docs)).filter(
         F.col("dhash").isNotNull()
-    )
+    ).persist()
     a = h.select(F.col("media_id").alias("doc_a"), "dhash")
     b = h.select(F.col("media_id").alias("doc_b"), "dhash")
     return (
@@ -207,7 +207,7 @@ def q_media_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     h = audio_fingerprints(make_planted_dup_audio(docs)).filter(
         F.col("afp").isNotNull()
-    )
+    ).persist()
     a = h.select(F.col("media_id").alias("doc_a"), "afp")
     b = h.select(F.col("media_id").alias("doc_b"), "afp")
     return (
@@ -261,7 +261,7 @@ def q_media_video_clip_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
                 ),
             )
         ).alias("clipfp")
-    )
+    ).persist()
     a = clips.select(F.col("media_id").alias("doc_a"), "clipfp")
     b = clips.select(F.col("media_id").alias("doc_b"), "clipfp")
     return (
@@ -343,7 +343,7 @@ def q_media_jpeg_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     h = dhash_images(make_planted_dup_jpegs(docs)).filter(
         F.col("dhash").isNotNull()
-    )
+    ).persist()
     a = h.select(F.col("media_id").alias("doc_a"), "dhash")
     b = h.select(F.col("media_id").alias("doc_b"), "dhash")
     return (
