@@ -102,6 +102,10 @@ def main() -> int:
         extra_conf={
             "spark.driver.memory": "24g",
             "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+            # the compare COLLECTS both sides; at sf30 the biggest
+            # row (sessionize: ~28M sessions) serializes past the 1g
+            # default and fails the row spuriously (r10 finding)
+            "spark.driver.maxResultSize": "8g",
         },
     )
     con = duckdb.connect()
