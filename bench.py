@@ -189,6 +189,12 @@ EXTRA = [
     "media_audio_fingerprint_pairs",
     "media_video_clip_dhash_pairs",
     "near_dup_cross_source_matrix",
+    # round-10 additions (JPEG tier + persisted ANN lifecycle)
+    "media_jpeg_dims",
+    "media_jpeg_dhash_pairs",
+    "media_jpeg_requant_recall",
+    "embedding_ivf_persisted_topk",
+    "embedding_ivfpq_persisted_topk",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan
