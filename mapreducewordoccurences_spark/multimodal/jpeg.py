@@ -195,19 +195,54 @@ def _canonical_codes(bits, vals):
 
 
 def _decode_table(bits, vals):
-    """(BITS, HUFFVAL) → {length: {code: symbol}} for MSB-first walk."""
-    table: dict[int, dict[int, int]] = {}
+    """(BITS, HUFFVAL) → canonical decode spec (mincode, maxcode,
+    valptr, vals) per T.81 F.2.2.3 — drives the fast peek-16 decode:
+    test the first L bits against maxcode[L] for L = 1..16; canonical
+    ordering guarantees the first hit is the symbol."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
     code = 0
     k = 0
     for length in range(1, 17):
-        if bits[length - 1]:
-            level = table.setdefault(length, {})
-            for _ in range(bits[length - 1]):
-                level[code] = vals[k]
-                code += 1
-                k += 1
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            maxcode[length] = code - 1
+            k += n
         code <<= 1
-    return table
+    return mincode, maxcode, valptr, list(vals)
+
+
+_RST_SPLIT = None  # compiled lazily (module import stays regex-free)
+
+
+def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Unstuffed entropy stream from ``pos``, split at RSTn markers.
+
+    All at C speed: one regex search bounds the scan at the first
+    real marker (any 0xFF not followed by 0x00 stuffing or an RSTn),
+    one split separates restart intervals, one replace unstuffs
+    0xFF00 → 0xFF. Each segment is padded with 8 zero bytes so the
+    word-at-a-time bit reader never slices short."""
+    global _RST_SPLIT
+    import re as _re
+
+    if _RST_SPLIT is None:
+        _RST_SPLIT = (
+            _re.compile(rb"\xff(?!\x00|[\xd0-\xd7])", _re.DOTALL),
+            _re.compile(rb"\xff[\xd0-\xd7]"),
+        )
+    bound, rst = _RST_SPLIT
+    tail = payload[pos:]
+    m = bound.search(tail)
+    ent = tail[: m.start()] if m else tail
+    return [
+        seg.replace(b"\xff\x00", b"\xff") + b"\x00" * 8
+        for seg in rst.split(ent)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -239,74 +274,6 @@ class _BitWriter:
     def pad_to_byte(self) -> None:
         if self.n:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-fill per spec
-
-
-class _BitReader:
-    """MSB-first reader over the entropy segment: unstuffs 0xFF00,
-    consumes RSTn on request, raises _Marker at any other marker."""
-
-    class _Marker(Exception):
-        def __init__(self, marker: int) -> None:
-            self.marker = marker
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
-            raise self._Marker(0xD9)  # treat EOF as EOI
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                raise self._Marker(nxt)
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_and_expect_rst(self, idx: int) -> None:
-        """Consume padding + the RSTn marker at a restart boundary."""
-        self.acc = 0
-        self.n = 0
-        d = self.data
-        # skip fill bytes to the marker
-        while self.pos + 1 < len(d) and not (
-            d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
-        ):
-            self.pos += 1
-        if self.pos + 1 >= len(d):
-            raise self._Marker(0xD9)
-        marker = d[self.pos + 1]
-        if 0xD0 <= marker <= 0xD7:
-            self.pos += 2
-        else:
-            raise self._Marker(marker)
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -654,64 +621,134 @@ def jpeg_pixels(payload: bytes | None) -> bytes | None:
                 return None
             order.append((by_id[cs], td, ta))
 
-        planes = []
-        for _, hs, vs, _tq in comps:
-            planes.append(
-                np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-            )
+        # validate tables up front (the old per-block check, hoisted)
+        for ci, td, ta in order:
+            if (
+                comps[ci][3] not in qts
+                or (0, td) not in huff
+                or (1, ta) not in huff
+            ):
+                return None
 
-        a_mat = _dct_a()
-        reader = _BitReader(payload, entropy_pos)
+        # ---- entropy decode: canonical Huffman over unstuffed,
+        # restart-segmented bytes, word-at-a-time bit reads ----
+        segs = _entropy_segments(payload, entropy_pos)
+        seg = segs[0]
+        seg_idx = 0
+        bitpos = 0
         dc_pred = [0] * len(comps)
         zz = _ZIGZAG
+        # per-component coefficient store, blocks in MCU traversal
+        # order — dequant + IDCT batch ONCE per component below
+        n_mcus = mcuy * mcux
+        coef_store = [
+            np.zeros((n_mcus * hs * vs, 64), dtype=np.float64)
+            for _, hs, vs, _tq in comps
+        ]
+        blk_idx = [0] * len(comps)
+        from_bytes = int.from_bytes
 
-        def read_symbol(table) -> int:
-            code = 0
+        def decode_block(dspec, aspec, row) -> int:
+            """One 8x8 block into ``row`` (a length-64 view); returns
+            the new DC prediction delta applied by the caller."""
+            nonlocal bitpos
+            # DC
+            peek = (
+                from_bytes(seg[bitpos >> 3 : (bitpos >> 3) + 4], "big")
+                >> (32 - (bitpos & 7) - 16)
+            ) & 0xFFFF
+            mincode, maxcode, valptr, vals = dspec
             for length in range(1, 17):
-                code = (code << 1) | reader.bit()
-                level = table.get(length)
-                if level is not None and code in level:
-                    return level[code]
-            raise ValueError("invalid Huffman code")
+                c = peek >> (16 - length)
+                if c <= maxcode[length]:
+                    t = vals[valptr[length] + c - mincode[length]]
+                    bitpos += length
+                    break
+            else:
+                raise ValueError("invalid DC code")
+            if t:
+                v = (
+                    from_bytes(seg[bitpos >> 3 : (bitpos >> 3) + 4], "big")
+                    >> (32 - (bitpos & 7) - t)
+                ) & ((1 << t) - 1)
+                bitpos += t
+                diff = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+            else:
+                diff = 0
+            # AC
+            mincode, maxcode, valptr, vals = aspec
+            k = 1
+            while k < 64:
+                peek = (
+                    from_bytes(seg[bitpos >> 3 : (bitpos >> 3) + 4], "big")
+                    >> (32 - (bitpos & 7) - 16)
+                ) & 0xFFFF
+                for length in range(1, 17):
+                    c = peek >> (16 - length)
+                    if c <= maxcode[length]:
+                        rs = vals[valptr[length] + c - mincode[length]]
+                        bitpos += length
+                        break
+                else:
+                    raise ValueError("invalid AC code")
+                s = rs & 0x0F
+                if s == 0:
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("coefficient index past 63")
+                v = (
+                    from_bytes(seg[bitpos >> 3 : (bitpos >> 3) + 4], "big")
+                    >> (32 - (bitpos & 7) - s)
+                ) & ((1 << s) - 1)
+                bitpos += s
+                row[zz[k]] = (
+                    v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                )
+                k += 1
+            return diff
 
-        coef = np.zeros(64, dtype=np.float64)
         mcu_count = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
+        for _my in range(mcuy):
+            for _mx in range(mcux):
                 if restart and mcu_count and mcu_count % restart == 0:
-                    reader.align_and_expect_rst(mcu_count // restart - 1)
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        raise ValueError("missing restart segment")
+                    seg = segs[seg_idx]
+                    bitpos = 0
                     dc_pred = [0] * len(comps)
                 for ci, td, ta in order:
-                    _, hs, vs, tq = comps[ci]
-                    if tq not in qts or (0, td) not in huff or (1, ta) not in huff:
-                        return None
-                    for v in range(vs):
-                        for hh in range(hs):
-                            coef[:] = 0.0
-                            t = read_symbol(huff[(0, td)])
-                            diff = _extend(reader.receive(t), t)
-                            dc_pred[ci] += diff
-                            coef[0] = dc_pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = read_symbol(huff[(1, ta)])
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    return None
-                                coef[zz[k]] = _extend(reader.receive(s), s)
-                                k += 1
-                            block = coef.reshape(8, 8) * qts[tq]
-                            spatial = a_mat.T @ block @ a_mat + 128.0
-                            y0 = (my * vs + v) * 8
-                            x0 = (mx * hs + hh) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                    _, hs, vs, _tq = comps[ci]
+                    store = coef_store[ci]
+                    for _ in range(hs * vs):
+                        row = store[blk_idx[ci]]
+                        dc_pred[ci] += decode_block(
+                            huff[(0, td)], huff[(1, ta)], row
+                        )
+                        row[0] = dc_pred[ci]
+                        blk_idx[ci] += 1
                 mcu_count += 1
+
+        # ---- batched dequant + IDCT + scatter per component ----
+        a_mat = _dct_a()
+        planes = []
+        for (cid, hs, vs, tq), store in zip(comps, coef_store):
+            blocks = store.reshape(-1, 8, 8) * qts[tq]
+            spatial = np.einsum("xu,buv,vy->bxy", a_mat.T, blocks, a_mat) + 128.0
+            plane = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+            myg, mxg, vg, hg = np.meshgrid(
+                np.arange(mcuy), np.arange(mcux), np.arange(vs),
+                np.arange(hs), indexing="ij",
+            )
+            by = (myg * vs + vg).ravel()
+            bx = (mxg * hs + hg).ravel()
+            view = plane.reshape(mcuy * vs, 8, mcux * hs, 8)
+            view[by, :, bx, :] = spatial
+            planes.append(plane)
 
         # crop to true component dims, upsample to full res
         full = []
@@ -743,5 +780,5 @@ def jpeg_pixels(payload: bytes | None) -> bytes | None:
                 np.clip(np.round(full[0]), 0, 255).astype(np.uint8).tobytes()
             )
         return None  # 2- or 4-component color transforms unsupported
-    except (ValueError, IndexError, struct.error, _BitReader._Marker):
+    except (ValueError, IndexError, struct.error):
         return None
