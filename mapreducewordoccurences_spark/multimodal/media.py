@@ -89,6 +89,30 @@ def _cpu_partitions(ids: DataFrame) -> DataFrame:
     return ids.repartition(spark.sparkContext.defaultParallelism)
 
 
+_LIVE_CACHES: list[DataFrame] = []
+_MAX_LIVE_CACHES = 8
+
+
+def bounded_persist(df: DataFrame) -> DataFrame:
+    """persist() with a bounded lifetime (ADVICE r10): media-tier
+    fingerprint frames are persisted so the pairing self-join decodes
+    each payload once, but a long-lived session invoking these queries
+    repeatedly must not accumulate cached blocks forever. Keep at most
+    ``_MAX_LIVE_CACHES`` media caches alive (each is id + 64-bit hash —
+    a few MB even at sf30), evicting oldest-first; an evicted frame
+    that is still referenced just recomputes, so this is a memory
+    bound, never a correctness risk."""
+    while len(_LIVE_CACHES) >= _MAX_LIVE_CACHES:
+        old = _LIVE_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    out = df.persist()
+    _LIVE_CACHES.append(out)
+    return out
+
+
 _MAGIC = b"FAKEIMG1"
 _HEADER = struct.Struct("<8sHHBB")  # magic, width, height, channels, n_frames
 
@@ -1408,7 +1432,7 @@ def hamming_hash_pairs(
     exact bit_count(xor) verification. Same scale contract as simhash:
     block width bits/(d+1) sets selectivity; keep d ≤ 8 on big data."""
     k = max_distance + 1
-    fps = hashes.persist()
+    fps = bounded_persist(hashes)
     bounds = [(bits * i) // k for i in range(k + 1)]
 
     def block(col, i: int):

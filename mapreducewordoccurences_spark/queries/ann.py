@@ -938,15 +938,18 @@ def q_embedding_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     deploys — codes in RAM-sized files, vectors fetched id-keyed."""
     from mapreducewordoccurences_spark.functions.similarity import (
         build_ivfpq_index,
+        ivfpq_index_rowcount,
         ivfpq_knn,
         ivfpq_probe,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    shortlist = max(100, emb.count() // 80)
     path = _index_scratch(sf_dir, "ivfpq")
     build_ivfpq_index(emb, path, nlist=16, m=16, ks=16)
+    # shortlist fraction sized from the count RECORDED AT BUILD TIME —
+    # no extra corpus scan in the probe/acceptance path (VERDICT r10 #7)
+    shortlist = max(100, ivfpq_index_rowcount(spark, path) // 80)
     probe_out = ivfpq_probe(
         queries, path, k=5, nprobe=4, shortlist=shortlist, m=16
     )

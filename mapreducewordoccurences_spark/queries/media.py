@@ -156,14 +156,17 @@ def q_media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form planted pair list, the planted-triangle pattern
     (queries/graph.py) applied to the multimodal tier."""
     from mapreducewordoccurences_spark.multimodal.media import (
+        bounded_persist,
         dhash_images,
         make_planted_dup_images,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    h = dhash_images(make_planted_dup_images(docs)).filter(
-        F.col("dhash").isNotNull()
-    ).persist()
+    h = bounded_persist(
+        dhash_images(make_planted_dup_images(docs)).filter(
+            F.col("dhash").isNotNull()
+        )
+    )
     a = h.select(F.col("media_id").alias("doc_a"), "dhash")
     b = h.select(F.col("media_id").alias("doc_b"), "dhash")
     return (
@@ -201,13 +204,16 @@ def q_media_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     exact-dedup groupBy shuffle; audio bytes never shuffle."""
     from mapreducewordoccurences_spark.multimodal.media import (
         audio_fingerprints,
+        bounded_persist,
         make_planted_dup_audio,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    h = audio_fingerprints(make_planted_dup_audio(docs)).filter(
-        F.col("afp").isNotNull()
-    ).persist()
+    h = bounded_persist(
+        audio_fingerprints(make_planted_dup_audio(docs)).filter(
+            F.col("afp").isNotNull()
+        )
+    )
     a = h.select(F.col("media_id").alias("doc_a"), "afp")
     b = h.select(F.col("media_id").alias("doc_b"), "afp")
     return (
@@ -244,6 +250,7 @@ def q_media_video_clip_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     video the shuffled bytes are ~20 B/frame, independent of frame
     size; the groupBy state is one row per clip."""
     from mapreducewordoccurences_spark.multimodal.media import (
+        bounded_persist,
         dhash_frames,
         make_planted_dup_clips,
     )
@@ -252,16 +259,18 @@ def q_media_video_clip_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     frames = dhash_frames(make_planted_dup_clips(docs)).filter(
         F.col("dhash").isNotNull()
     )
-    clips = frames.groupBy("media_id").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.sort_array(
-                    F.collect_list(F.concat_ws(":", "frame_idx", "dhash"))
-                ),
-            )
-        ).alias("clipfp")
-    ).persist()
+    clips = bounded_persist(
+        frames.groupBy("media_id").agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.concat_ws(":", "frame_idx", "dhash"))
+                    ),
+                )
+            ).alias("clipfp")
+        )
+    )
     a = clips.select(F.col("media_id").alias("doc_a"), "clipfp")
     b = clips.select(F.col("media_id").alias("doc_b"), "clipfp")
     return (
@@ -336,14 +345,17 @@ def q_media_jpeg_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint pass, (id, hash) shuffle, binary payloads never
     move."""
     from mapreducewordoccurences_spark.multimodal.media import (
+        bounded_persist,
         dhash_images,
         make_planted_dup_jpegs,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    h = dhash_images(make_planted_dup_jpegs(docs)).filter(
-        F.col("dhash").isNotNull()
-    ).persist()
+    h = bounded_persist(
+        dhash_images(make_planted_dup_jpegs(docs)).filter(
+            F.col("dhash").isNotNull()
+        )
+    )
     a = h.select(F.col("media_id").alias("doc_a"), "dhash")
     b = h.select(F.col("media_id").alias("doc_b"), "dhash")
     return (
@@ -391,13 +403,19 @@ def q_media_jpeg_requant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = hamming_hash_pairs(h, max_distance=8).select(
         "doc_a", "doc_b", F.lit(1).alias("__hit")
     )
+    # semi-join doc_a back to documents so both engines count the same
+    # planted set: the oracle joins on the predecessor's EXISTENCE, so a
+    # corpus with a gap right before an id ≡ 1 (mod 10) must not charge
+    # recall for a pair that cannot exist (ADVICE r10)
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
     planted = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .where((F.col("doc_id") % 10 == 1) & (F.col("doc_id") < 400))
+        ids.where((F.col("doc_id") % 10 == 1) & (F.col("doc_id") < 400))
         .select(
             (F.col("doc_id") - 1).alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
+        )
+        .join(
+            ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi"
         )
     )
     marked = planted.join(found, ["doc_a", "doc_b"], "left")
