@@ -976,6 +976,56 @@ def _seq_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _mmr_greedy_one(
+    cands: list[tuple[int, float, list[float]]],
+    k: int,
+    lam: float,
+    mu: float,
+    scale: float,
+) -> list[tuple[int, int]]:
+    """ONE query's greedy MMR selection → [(rank, picked_id)].
+
+    This is the exact selection contract both the distributed
+    (applyInPandas) and driver paths share — sequential-fold dots,
+    ``floor(x·scale + 0.5)`` grain compare, smallest-id tie-break —
+    so distributed-vs-driver parity is bit-identical by construction
+    (tested in tests/test_round11_ops.py)."""
+
+    def _grain(x: float) -> int:
+        # half-up toward +inf on both engines (see caller docstring)
+        return math.floor(x * scale + 0.5)
+
+    vn: dict[int, list[float]] = {}
+    rel: dict[int, float] = {}
+    for cid, r, v in cands:
+        nrm = math.sqrt(_seq_dot(v, v))
+        if nrm == 0.0:
+            continue  # cosine undefined — never a valid candidate
+        vn[cid] = [x / nrm for x in v]
+        rel[cid] = r
+    # -inf, not 0: the oracle's max(sim-to-selected) is the true
+    # max, which is negative when every pair-sim is negative
+    max_div: dict[int, float] = {cid: float("-inf") for cid in rel}
+    remaining = set(rel)
+    out: list[tuple[int, int]] = []
+    for rank in range(1, min(k, len(rel)) + 1):
+        if rank == 1:
+            key = lambda c: (_grain(rel[c]), -c)  # noqa: E731
+        else:
+            key = lambda c: (  # noqa: E731
+                _grain(lam * rel[c] - mu * max_div[c]),
+                -c,
+            )
+        pick = max(sorted(remaining), key=key)
+        out.append((rank, pick))
+        remaining.discard(pick)
+        for c in remaining:
+            s = _seq_dot(vn[c], vn[pick])
+            if s > max_div[c]:
+                max_div[c] = s
+    return out
+
+
 def mmr_diversified_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -988,6 +1038,7 @@ def mmr_diversified_topk(
     query_id_col: str = "query_id",
     grain: int = 6,
     shortlist_df: DataFrame | None = None,
+    distributed: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
     diversified top-k: greedily pick the candidate maximizing
@@ -997,13 +1048,17 @@ def mmr_diversified_topk(
 
     Scale shape: the distributed work is the shortlist generation
     (exact ``brute_force_knn`` here; swap in the IVF/LSH tiers for a
-    100 TB corpus) — the greedy phase is INHERENTLY sequential but
-    runs over ≤ |queries|·shortlist rows, a driver-bounded panel
-    (same bounded-collect protocol as the BPE argmax and selection
-    quantiles). Scores are compared at a 10^-grain grain with id
-    tie-breaks so the selection sequence is reproducible across
-    engines (random-embedding score gaps ≫ ulp; raw doubles are not
-    emitted).
+    100 TB corpus) — the greedy phase is inherently sequential PER
+    QUERY but embarrassingly parallel ACROSS queries, so it runs in
+    ``applyInPandas`` grouped by query id (VERDICT r10 #1): each
+    group is ≤ shortlist rows, no driver collect, and 10⁵+ probe
+    queries spread over every executor instead of serializing on the
+    driver. ``distributed=False`` keeps the old bounded driver-panel
+    path — same ``_mmr_greedy_one`` selection code, used by the
+    bit-identical parity test. Scores are compared at a 10^-grain
+    grain with id tie-breaks so the selection sequence is
+    reproducible across engines (random-embedding score gaps ≫ ulp;
+    raw doubles are not emitted).
 
     Cross-engine determinism of the grain compare (ADVICE r8): the
     diversity weight is an EXPLICIT ``mu`` (defaults to ``1 - lam``;
@@ -1040,52 +1095,51 @@ def mmr_diversified_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
         ),
         "neighbor_id",
-    )
-    rows = with_vec.select(query_id_col, "neighbor_id", "sim", "__v").collect()
-
-    by_q: dict[int, list[tuple[int, float, list[float]]]] = {}
-    for r in rows:
-        by_q.setdefault(r[query_id_col], []).append(
-            (r["neighbor_id"], float(r["sim"]), [float(x) for x in r["__v"]])
-        )
+    ).select(query_id_col, "neighbor_id", "sim", "__v")
 
     scale = float(10**grain)
+    out_schema = f"{query_id_col} bigint, rnk int, {id_col} bigint"
 
-    def _grain(x: float) -> int:
-        # half-up toward +inf on both engines (see docstring)
-        return math.floor(x * scale + 0.5)
-
-    out: list[tuple[int, int, int]] = []
-    for qid in sorted(by_q):
-        cands = sorted(by_q[qid])  # deterministic id order
-        vn: dict[int, list[float]] = {}
-        rel: dict[int, float] = {}
-        for cid, r, v in cands:
-            nrm = math.sqrt(_seq_dot(v, v))
-            if nrm == 0.0:
-                continue  # cosine undefined — never a valid candidate
-            vn[cid] = [x / nrm for x in v]
-            rel[cid] = r
-        # -inf, not 0: the oracle's max(sim-to-selected) is the true
-        # max, which is negative when every pair-sim is negative
-        max_div: dict[int, float] = {cid: float("-inf") for cid in rel}
-        remaining = set(rel)
-        for rank in range(1, min(k, len(rel)) + 1):
-            if rank == 1:
-                key = lambda c: (_grain(rel[c]), -c)  # noqa: E731
-            else:
-                key = lambda c: (  # noqa: E731
-                    _grain(lam * rel[c] - mu * max_div[c]),
-                    -c,
+    if not distributed:
+        # bounded driver-panel path (pre-r11 shape), kept for the
+        # distributed-vs-driver parity test
+        rows = with_vec.collect()
+        by_q: dict[int, list[tuple[int, float, list[float]]]] = {}
+        for r in rows:
+            by_q.setdefault(r[query_id_col], []).append(
+                (
+                    r["neighbor_id"],
+                    float(r["sim"]),
+                    [float(x) for x in r["__v"]],
                 )
-            pick = max(sorted(remaining), key=key)
-            out.append((qid, rank, pick))
-            remaining.discard(pick)
-            for c in remaining:
-                s = _seq_dot(vn[c], vn[pick])
-                if s > max_div[c]:
-                    max_div[c] = s
-        del remaining
-    return spark.createDataFrame(
-        out, schema=f"{query_id_col} bigint, rnk int, {id_col} bigint"
+            )
+        out: list[tuple[int, int, int]] = []
+        for qid in sorted(by_q):
+            cands = sorted(by_q[qid])  # deterministic id order
+            for rank, pick in _mmr_greedy_one(cands, k, lam, mu, scale):
+                out.append((qid, rank, pick))
+        return spark.createDataFrame(out, schema=out_schema)
+
+    def _greedy_group(pdf):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        cands = sorted(  # deterministic id order
+            (int(n), float(s), [float(x) for x in v])
+            for n, s, v in zip(
+                pdf["neighbor_id"], pdf["sim"], pdf["__v"]
+            )
+        )
+        picks = _mmr_greedy_one(cands, k, lam, mu, scale)
+        qid = int(pdf[query_id_col].iloc[0])
+        return pd.DataFrame(
+            {
+                query_id_col: np.full(len(picks), qid, dtype="int64"),
+                "rnk": np.array([r for r, _ in picks], dtype="int32"),
+                id_col: np.array([p for _, p in picks], dtype="int64"),
+            }
+        )
+
+    return with_vec.groupBy(query_id_col).applyInPandas(
+        _greedy_group, out_schema
     )
