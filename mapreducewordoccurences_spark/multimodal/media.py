@@ -14,14 +14,15 @@ stdlib ``zlib`` + ``struct`` (``png_encode`` / ``_png_meta`` /
 spec-complete APNG for multi-frame clips), mirroring the audio
 tier's stdlib-``wave`` path: genuine bit-format round-trips with
 zero native deps. JPEG — the format most of a real training corpus
-arrives in — is handled by a vendored baseline codec
-(multimodal/jpeg.py: full Huffman/DCT decode incl. 4:2:0 and restart
-markers, encoder for planted corpora; r10, cross-validated against
-javax.imageio in tests/test_jpeg.py). The engine's legacy
-self-describing test header (``fake_image_bytes``) still parses
-first (constant-time, used by corrupt-path tests), and Pillow
-remains a try-import fallback for the REMAINING formats (GIF/TIFF/
-progressive JPEG) — absent Pillow those yield NULL dims/features,
+arrives in — is handled by a vendored codec (multimodal/jpeg.py:
+full Huffman/DCT decode incl. 4:2:0, restart markers, and — r11 —
+progressive SOF2 with successive approximation; encoders for planted
+corpora; cross-validated against javax.imageio in
+tests/test_jpeg.py). The engine's legacy self-describing test header
+(``fake_image_bytes``) still parses first (constant-time, used by
+corrupt-path tests), and Pillow remains a try-import fallback for
+the REMAINING formats (TIFF/WebP/...) — absent Pillow those yield
+NULL dims/features,
 the same graceful path corrupt bytes take, so jobs never fail on
 codec availability. The Spark-side contract — schemas,
 batch iteration, partitioning, UDF signatures — is identical on
@@ -458,8 +459,9 @@ def _any_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
 def _any_image_pixels(payload: bytes | None) -> tuple[tuple[int, int, int, int], bytes] | None:
     """((w, h, channels, n_frames), interleaved 8-bit pixels) through
     whichever vendored codec claims the payload — PNG/APNG first, then
-    baseline JPEG. None when neither decodes (corrupt, exotic format,
-    progressive JPEG): callers take the NULL path, never fail."""
+    JPEG (baseline AND progressive since r11). None when neither
+    decodes (corrupt, exotic format): callers take the NULL path,
+    never fail."""
     from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
         jpeg_meta,
         jpeg_pixels,
@@ -1319,17 +1321,23 @@ def make_planted_dup_jpegs(
 ) -> DataFrame:
     """Grayscale JPEG corpus with planted BYTE-DISTINCT duplicates:
     every id with ``id % period == 1`` encodes the SAME pixels as
-    ``id - 1`` but with a restart interval (DRI + RSTn markers, reset
-    DC predictors) — a genuinely different entropy stream that decodes
-    bit-identically (property-tested), so its dHash equals its
-    source's exactly while byte-level dedup can never pair them. This
-    is the JPEG twin of the PNG corpus's non-wrapping brightness
-    shift: an EXACT invariance, closed-form oracle, no recall
-    tolerance needed."""
+    ``id - 1`` through a different coding path — alternating between
+    a restart-interval re-encode (DRI + RSTn markers, reset DC
+    predictors) and a PROGRESSIVE (SOF2) re-encode (r11: multi-scan
+    spectral selection + successive approximation) — either way a
+    genuinely different entropy stream that decodes bit-identically
+    (property-tested: both coders quantize through the same
+    ``_prepare_blocks``), so its dHash equals its source's exactly
+    while byte-level dedup can never pair them. This is the JPEG twin
+    of the PNG corpus's non-wrapping brightness shift: an EXACT
+    invariance, closed-form oracle, no recall tolerance needed — and
+    since r11 it proves the dHash tier no longer silently drops the
+    progressive slice a real web corpus carries."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
             jpeg_encode,
+            jpeg_encode_progressive,
         )
 
         for pdf in batches:
@@ -1338,12 +1346,22 @@ def make_planted_dup_jpegs(
             for i in ids:
                 i = int(i)
                 if i % period == 1:
-                    payloads.append(
-                        jpeg_encode(
-                            side, side, 1, _jpeg_noise_pixels(i - 1, side),
-                            quality=quality, restart_interval=4,
+                    if (i // period) % 2 == 1:
+                        payloads.append(
+                            jpeg_encode_progressive(
+                                side, side, 1,
+                                _jpeg_noise_pixels(i - 1, side),
+                                quality=quality,
+                            )
                         )
-                    )
+                    else:
+                        payloads.append(
+                            jpeg_encode(
+                                side, side, 1,
+                                _jpeg_noise_pixels(i - 1, side),
+                                quality=quality, restart_interval=4,
+                            )
+                        )
                 else:
                     payloads.append(
                         jpeg_encode(

@@ -110,9 +110,11 @@ def test_corrupt_and_foreign_bytes_return_none():
     assert jpeg_meta(png) is None
 
 
-def test_progressive_sof2_meta_yes_pixels_no():
-    """Dims must come back from ANY SOFn (corpus profiling keeps the
-    row); the pixel path serves baseline only."""
+def test_relabeled_sof2_is_invalid_progressive():
+    """A baseline stream relabeled SOF2 is MALFORMED progressive (its
+    single scan has Ss=0, Se=63 — a progressive DC scan must have
+    Se=0): dims still come back from the SOFn, pixels take the
+    graceful-None path, never an exception."""
     img = _gradient(16, 16)
     p = bytearray(jpeg_encode(16, 16, 1, img.tobytes()))
     i = p.find(b"\xff\xc0")
@@ -120,6 +122,100 @@ def test_progressive_sof2_meta_yes_pixels_no():
     p[i + 1] = 0xC2  # relabel SOF0 -> SOF2 (progressive)
     assert jpeg_meta(bytes(p)) == (16, 16, 1, 1)
     assert jpeg_pixels(bytes(p)) is None
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — r11
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_roundtrip_bit_identical_to_baseline():
+    """Both encoders quantize through the same _prepare_blocks, so the
+    progressive stream must decode to EXACTLY the baseline pixels —
+    the invariance the planted progressive-duplicate corpus relies
+    on. Covers gray, 4:4:4 color, and 4:2:0 color at odd dims."""
+    from mapreducewordoccurences_spark.multimodal.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    for w, h, q in [(37, 29, 90), (16, 16, 75), (8, 8, 50), (1, 1, 85)]:
+        img = _gradient(w, h)
+        b = jpeg_encode(w, h, 1, img.tobytes(), quality=q)
+        p = jpeg_encode_progressive(w, h, 1, img.tobytes(), quality=q)
+        assert b"\xff\xc2" in p
+        assert jpeg_meta(p) == (w, h, 1, 1)
+        assert jpeg_pixels(p) == jpeg_pixels(b)
+    for sub in (False, True):
+        w, h = 33, 31
+        base = _gradient(w, h)
+        rgb = np.stack(
+            [base, ((base.astype(int) + 40) % 256).astype(np.uint8),
+             ((base.astype(int) + 80) % 256).astype(np.uint8)],
+            axis=2,
+        )
+        b = jpeg_encode(w, h, 3, rgb.tobytes(), quality=90, subsample=sub)
+        p = jpeg_encode_progressive(
+            w, h, 3, rgb.tobytes(), quality=90, subsample=sub
+        )
+        assert jpeg_pixels(p) == jpeg_pixels(b)
+
+
+def test_progressive_noise_roundtrip_property():
+    """Random noise maximizes refinement-scan complexity (dense newly-
+    nonzero coefficients, correction-bit interleaving, ZRL runs) —
+    the event-queue encoder and the refinement decoder must agree on
+    every stream."""
+    from mapreducewordoccurences_spark.multimodal.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(8):
+        w, h = int(rng.randint(8, 70)), int(rng.randint(8, 70))
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        q = int(rng.choice([50, 75, 95]))
+        b = jpeg_encode(w, h, 1, img.tobytes(), quality=q)
+        p = jpeg_encode_progressive(w, h, 1, img.tobytes(), quality=q)
+        assert jpeg_pixels(p) == jpeg_pixels(b)
+
+
+def test_decode_work_bounded_by_header_caps():
+    """ADVICE r10: a corrupt header claiming 65535x65535 must be
+    rejected from the HEADER (no multi-GB allocation, no hours-long
+    loop) — for both the baseline and progressive paths."""
+    import struct as _struct
+    import time
+
+    from mapreducewordoccurences_spark.multimodal.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    img = _gradient(16, 16)
+    for enc in (
+        lambda: jpeg_encode(16, 16, 1, img.tobytes()),
+        lambda: jpeg_encode_progressive(16, 16, 1, img.tobytes()),
+    ):
+        p = bytearray(enc())
+        i = p.find(b"\xff\xc0")
+        if i < 0:
+            i = p.find(b"\xff\xc2")
+        _struct.pack_into(">HH", p, i + 5, 65535, 65535)
+        t0 = time.time()
+        assert jpeg_pixels(bytes(p)) is None
+        assert time.time() - t0 < 1.0
+
+
+def test_progressive_truncation_and_corruption_graceful():
+    from mapreducewordoccurences_spark.multimodal.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    img = _gradient(24, 24)
+    p = jpeg_encode_progressive(24, 24, 1, img.tobytes(), quality=85)
+    assert jpeg_pixels(p[:40]) is None  # truncated mid-headers
+    # truncated mid-scan: graceful None or a decoded prefix, never a raise
+    out = jpeg_pixels(p[: len(p) // 2])
+    assert out is None or isinstance(out, bytes)
 
 
 def test_quality_monotonic_size_and_error():
@@ -175,6 +271,29 @@ def imageio(spark):
                 return None
             return bytes(baos.toByteArray())
 
+        def png_to_progressive_jpeg(self, png: bytes) -> bytes | None:
+            img = jvm.javax.imageio.ImageIO.read(
+                jvm.java.io.ByteArrayInputStream(png)
+            )
+            if img is None:
+                return None
+            writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+                "jpeg"
+            ).next()
+            param = writer.getDefaultWriteParam()
+            param.setProgressiveMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+            )
+            baos = jvm.java.io.ByteArrayOutputStream()
+            ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+            writer.setOutput(ios)
+            writer.write(
+                None, jvm.javax.imageio.IIOImage(img, None, None), param
+            )
+            ios.close()
+            writer.dispose()
+            return bytes(baos.toByteArray())
+
     return Bridge()
 
 
@@ -226,6 +345,52 @@ def test_our_decoder_reads_imageio_encoded_jpeg(imageio):
     dec = np.frombuffer(px, np.uint8).reshape(h, w, ncomp)[:, :, 0] \
         if ncomp > 1 else np.frombuffer(px, np.uint8).reshape(h, w)
     assert _psnr(img, dec) > 30
+
+
+def test_imageio_decodes_our_progressive_jpeg(imageio):
+    """Two independent conforming decoders on OUR progressive stream:
+    max |Δ| ≤ 1 gray level (IDCT rounding only)."""
+    from mapreducewordoccurences_spark.multimodal.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    for w, h, q in [(37, 29, 90), (32, 24, 75), (64, 40, 95)]:
+        img = _gradient(w, h)
+        p = jpeg_encode_progressive(w, h, 1, img.tobytes(), quality=q)
+        png = imageio.decode_to_png(p)
+        assert png is not None, "ImageIO rejected our progressive stream"
+        theirs = _png_gray_pixels(png)
+        ours = np.frombuffer(jpeg_pixels(p), np.uint8).reshape(h, w)
+        assert int(np.abs(theirs.astype(int) - ours.astype(int)).max()) <= 1
+
+
+def test_our_decoder_reads_imageio_progressive_jpeg(imageio):
+    """Real-world progressive coverage: javax.imageio's progressive
+    writer (its own scan script, EOBn runs, successive approximation)
+    must decode through the vendored SOF2 path and agree with
+    ImageIO's own decode to within IDCT rounding."""
+    from mapreducewordoccurences_spark.multimodal.jpeg import (
+        jpeg_encode_progressive,  # noqa: F401 — documents the pairing
+    )
+
+    for w, h in [(40, 32), (33, 31)]:
+        img = _gradient(w, h)
+        jp = imageio.png_to_progressive_jpeg(
+            png_encode(w, h, 1, 1, frames=[img.tobytes()])
+        )
+        assert jp is not None and b"\xff\xc2" in jp, "not a SOF2 stream"
+        meta = jpeg_meta(jp)
+        assert meta is not None and (meta[0], meta[1]) == (w, h)
+        px = jpeg_pixels(jp)
+        assert px is not None, "vendored SOF2 decoder rejected the stream"
+        ncomp = meta[2]
+        ours = (
+            np.frombuffer(px, np.uint8).reshape(h, w, ncomp)[:, :, 0]
+            if ncomp > 1
+            else np.frombuffer(px, np.uint8).reshape(h, w)
+        )
+        theirs = _png_gray_pixels(imageio.decode_to_png(jp))
+        assert int(np.abs(theirs.astype(int) - ours.astype(int)).max()) <= 1
 
 
 def test_png_codec_roundtrip_vs_imageio_bitexact(imageio):
