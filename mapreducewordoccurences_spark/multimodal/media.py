@@ -442,26 +442,32 @@ def _real_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
 
 def _any_image_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
     """Fake-header first (cheap constant-time parse), then the stdlib
-    PNG/APNG codec, then the vendored baseline JPEG codec
-    (multimodal/jpeg.py — r10, so a mostly-JPEG corpus no longer
-    yields NULL dims on a Pillow-less cluster), then Pillow for the
-    remaining formats (GIF/TIFF/...)."""
+    PNG/APNG codec, then the vendored JPEG codec (multimodal/jpeg.py —
+    baseline + progressive), then the vendored GIF codec
+    (multimodal/gif.py — r11), then Pillow for the remaining formats
+    (TIFF/WebP/...)."""
+    from mapreducewordoccurences_spark.multimodal.gif import gif_meta  # noqa: PLC0415
     from mapreducewordoccurences_spark.multimodal.jpeg import jpeg_meta  # noqa: PLC0415
 
     return (
         _parse_header(payload)
         or _png_meta(payload)
         or jpeg_meta(payload)
+        or gif_meta(payload)
         or _real_image_meta(payload)
     )
 
 
 def _any_image_pixels(payload: bytes | None) -> tuple[tuple[int, int, int, int], bytes] | None:
-    """((w, h, channels, n_frames), interleaved 8-bit pixels) through
-    whichever vendored codec claims the payload — PNG/APNG first, then
-    JPEG (baseline AND progressive since r11). None when neither
-    decodes (corrupt, exotic format): callers take the NULL path,
-    never fail."""
+    """((w, h, channels, n_frames), interleaved 8-bit pixels of frame
+    0) through whichever vendored codec claims the payload — PNG/APNG
+    first, then JPEG (baseline AND progressive since r11), then GIF
+    (r11). None when none decodes (corrupt, exotic format): callers
+    take the NULL path, never fail."""
+    from mapreducewordoccurences_spark.multimodal.gif import (  # noqa: PLC0415
+        gif_meta,
+        gif_pixels,
+    )
     from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
         jpeg_meta,
         jpeg_pixels,
@@ -475,6 +481,13 @@ def _any_image_pixels(payload: bytes | None) -> tuple[tuple[int, int, int, int],
     if meta is not None:
         px = jpeg_pixels(payload)
         return None if px is None else (meta, px)
+    meta = gif_meta(payload)
+    if meta is not None:
+        px = gif_pixels(payload)
+        if px is None:
+            return None
+        w, h, _ch, _nf = meta
+        return meta, px[: w * h * 3]  # frame 0 of the canvas sequence
     return None
 
 
@@ -1485,6 +1498,107 @@ def hamming_hash_pairs(
         .select("doc_a", "doc_b", dist.alias("hamming"))
         .where(F.col("hamming") <= max_distance)
     )
+
+
+def make_fake_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIF corpus with closed-form metadata, the GIF
+    twin of make_fake_media/make_fake_jpeg_media: dims vary per id
+    (16+id%48 x 16+7id%40), n_frames = 1 + id % 3 (animated GIFs via
+    per-frame GCE blocks), and every 3rd id is INTERLACED — so the
+    dims/frame-count oracle stays pure arithmetic while the payloads
+    are genuine GIF89a streams exercising the vendored LZW decoder's
+    branches (multi-frame compositing, interlace reorder)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        from mapreducewordoccurences_spark.multimodal.gif import (  # noqa: PLC0415
+            gif_encode,
+        )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 16 + i % 48, 16 + (i * 7) % 40
+                nf = 1 + i % 3
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                frames = [
+                    ((xx * 3 + yy * 5 + i + f * 11) % 200 + 20)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for f in range(nf)
+                ]
+                payloads.append(
+                    gif_encode(w, h, frames, interlace=(i % 3 == 0))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "image/gif", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def make_planted_dup_gifs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    period: int = 10,
+    side: int = 32,
+) -> DataFrame:
+    """Grayscale GIF corpus with planted BYTE-DISTINCT duplicates:
+    every id with ``id % period == 1`` encodes the SAME pixels as
+    ``id - 1`` but INTERLACED (4-pass row reorder) — a genuinely
+    different LZW stream that decodes bit-identically (GIF is
+    lossless), so its dHash equals its source's exactly. The GIF twin
+    of the JPEG corpus's restart-interval/progressive variants: exact
+    invariance, closed-form oracle, no recall tolerance."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreducewordoccurences_spark.multimodal.gif import (  # noqa: PLC0415
+            gif_encode,
+        )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % period == 1:
+                    payloads.append(
+                        gif_encode(
+                            side, side,
+                            [_jpeg_noise_pixels(i - 1, side)],
+                            interlace=True,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        gif_encode(
+                            side, side, [_jpeg_noise_pixels(i, side)]
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "image/gif", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def make_fake_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

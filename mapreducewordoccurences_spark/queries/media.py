@@ -366,6 +366,87 @@ def q_media_jpeg_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_gif_dims",
+    # make_fake_gif_media's dims/frame counts are closed-form in
+    # doc_id; the Spark side pushes every payload through a REAL
+    # GIF89a encode (incl. animation GCE blocks and interlacing) and
+    # re-derives the histogram from block structure via the vendored
+    # decoder (multimodal/gif.py) — no LZW work in the meta path
+    """
+    SELECT CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 40 AS INT) AS height,
+           CAST(sum(1 + doc_id % 3) AS BIGINT) AS total_frames,
+           count(*) AS n_images
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_media_gif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF plumbing end-to-end on a Pillow-less cluster (r11: the
+    last vendored-codec gap — GIF payloads previously yielded NULL
+    features here): synthesize genuine GIF89a payloads (single- and
+    multi-frame, every 3rd interlaced — multimodal/gif.py
+    gif_encode), parse dims AND frame counts back through the
+    vendored block walker in Arrow-batched mapInPandas, and aggregate
+    a histogram the oracle predicts arithmetically. Any container
+    break (LSD layout, sub-block framing, image-descriptor counting)
+    diverges the hash."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        decode_image_meta,
+        make_fake_gif_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    meta = decode_image_meta(make_fake_gif_media(docs))
+    return meta.groupBy("width", "height").agg(
+        F.sum("n_frames").alias("total_frames"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
+
+
+@register(
+    "media_gif_dhash_pairs",
+    # planted BYTE-DISTINCT duplicates: ids with id % 10 == 1 encode
+    # the same pixels as id - 1 INTERLACED (different LZW stream,
+    # identical pixels — GIF is lossless), so dHash equality pairing
+    # IS the planted list
+    """
+    SELECT d.doc_id - 1 AS doc_a, d.doc_id AS doc_b
+    FROM documents d JOIN documents o ON o.doc_id = d.doc_id - 1
+    WHERE d.doc_id % 10 = 1
+    """,
+)
+def q_media_gif_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over REAL GIF bytes through the vendored
+    LZW decoder: planted copies are interlaced re-encodes (byte-
+    distinct, bit-identical pixels — property-tested in
+    tests/test_gif.py and cross-validated against javax.imageio), so
+    byte-level dedup can never pair them while decode → dHash →
+    exact-groupBy pairs them exactly. Same 100 TB shape as the
+    PNG/JPEG rows: map-only fingerprint pass, (id, hash) shuffle,
+    binary payloads never move."""
+    from mapreducewordoccurences_spark.multimodal.media import (
+        bounded_persist,
+        dhash_images,
+        make_planted_dup_gifs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = bounded_persist(
+        dhash_images(make_planted_dup_gifs(docs)).filter(
+            F.col("dhash").isNotNull()
+        )
+    )
+    a = h.select(F.col("media_id").alias("doc_a"), "dhash")
+    b = h.select(F.col("media_id").alias("doc_b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
     "media_jpeg_requant_recall",
     # the acceptance contract of the Hamming-tolerant tier on a
     # deterministic 400-doc panel: n_planted is closed-form; recall
