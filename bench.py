@@ -195,9 +195,11 @@ EXTRA = [
     "media_jpeg_requant_recall",
     "embedding_ivf_persisted_topk",
     "embedding_ivfpq_persisted_topk",
-    # round-11 additions (vendored GIF tier)
+    # round-11 additions (vendored GIF + MP4/MJPEG tiers)
     "media_gif_dims",
     "media_gif_dhash_pairs",
+    "media_mp4_dims",
+    "media_mp4_clip_dhash_pairs",
     # streaming rows (streaming_wordcount_parity, streaming_dedup_parity,
     # streaming_psi_monitor_batch) are deliberately NOT benched: their
     # per-invocation temp checkpoint dirs measure setup, not the plan

@@ -1184,26 +1184,46 @@ def dhash_frames(
     and payload bytes still never shuffle."""
     import numpy as np  # noqa: PLC0415
 
+    def _hash_gray_frame(px: bytes, w: int, h: int, ch: int) -> int:
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+        gray = (arr.astype(np.uint32).sum(axis=2) // ch).astype(np.uint8)
+        small = np.frombuffer(
+            _nn_resample(gray.tobytes(), w, h, 1, hash_w + 1, hash_h),
+            dtype=np.uint8,
+        ).reshape(hash_h, hash_w + 1)
+        bits = (small[:, :-1] > small[:, 1:]).flatten()
+        return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
     def _frame_hashes(payload: bytes | None) -> list[int | None]:
         meta = _png_meta(payload)
-        if meta is None:
+        if meta is not None:
+            w, h, ch, n_frames = meta
+            out: list[int | None] = []
+            for f in range(n_frames):
+                px = _png_pixels(payload, frame=f)
+                out.append(
+                    None if px is None else _hash_gray_frame(px, w, h, ch)
+                )
+            return out
+        # MJPEG MP4 clips (r11): demux samples through the vendored
+        # ISO BMFF walker, decode each through the vendored JPEG codec
+        from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
+            jpeg_meta,
+            jpeg_pixels,
+        )
+        from mapreducewordoccurences_spark.multimodal.mp4 import (  # noqa: PLC0415
+            mp4_jpeg_frames,
+        )
+
+        samples = mp4_jpeg_frames(payload)
+        if samples is None:
             return []
-        w, h, ch, n_frames = meta
-        out: list[int | None] = []
-        for f in range(n_frames):
-            px = _png_pixels(payload, frame=f)
-            if px is None:
-                out.append(None)
-                continue
-            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
-            gray = (arr.astype(np.uint32).sum(axis=2) // ch).astype(np.uint8)
-            small = np.frombuffer(
-                _nn_resample(gray.tobytes(), w, h, 1, hash_w + 1, hash_h),
-                dtype=np.uint8,
-            ).reshape(hash_h, hash_w + 1)
-            bits = (small[:, :-1] > small[:, 1:]).flatten()
+        out = []
+        for s in samples:
+            m = jpeg_meta(s)
+            px = jpeg_pixels(s) if m is not None else None
             out.append(
-                int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+                None if px is None else _hash_gray_frame(px, m[0], m[1], m[2])
             )
         return out
 
@@ -1648,6 +1668,170 @@ def make_fake_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "payload": payloads,
                     "meta": [
                         {"source": "synthetic", "mime": "image/jpeg", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 corpora (round 11) — the vendored ISO BMFF muxer/demuxer
+# (multimodal/mp4.py) gives the video tier a REAL container format
+# served end-to-end with zero native deps: every sample is a complete
+# JFIF stream through the vendored JPEG codec. H.264/VP9 remain behind
+# the availability-gated ffmpeg seam (multimodal/video.py).
+# ---------------------------------------------------------------------------
+
+
+def decode_mp4_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """payload → (media_id, width, height, n_frames, codec,
+    duration_ms) through the vendored MP4 sample-table walker in
+    Arrow-batched mapInPandas — no sample bytes touched, so corpus
+    profiling is cheap. Non-MP4/corrupt payloads yield NULL metadata
+    (the 100 TB corruption rule), identical in shape to the ffprobe
+    path (multimodal/video.py decode_video_meta_ffmpeg)."""
+    from mapreducewordoccurences_spark.multimodal.mp4 import (  # noqa: PLC0415
+        mp4_meta,
+    )
+    from mapreducewordoccurences_spark.multimodal.video import (  # noqa: PLC0415
+        VIDEO_META_SCHEMA,
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [mp4_meta(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(
+                        [m[0] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m[1] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [m[2] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "codec": [m[3] if m else None for m in metas],
+                    "duration_ms": pd.array(
+                        [m[4] if m else None for m in metas], dtype="Float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, VIDEO_META_SCHEMA)
+
+
+def make_fake_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG-MP4 corpus with closed-form metadata:
+    dims vary per id (16+id%48 x 16+7id%40 — even dims not required:
+    MJPEG has no chroma constraint here since frames are grayscale),
+    n_frames = 1 + id % 4 at 10 fps (duration_ms = 100·n_frames,
+    timescale 1000). Every sample is a genuine baseline JFIF stream;
+    the dims/frames/duration oracle stays pure arithmetic."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
+            jpeg_encode,
+        )
+        from mapreducewordoccurences_spark.multimodal.mp4 import (  # noqa: PLC0415
+            mp4_encode_mjpeg,
+        )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 16 + i % 48, 16 + (i * 7) % 40
+                nf = 1 + i % 4
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                samples = [
+                    jpeg_encode(
+                        w, h, 1,
+                        ((xx * 3 + yy * 5 + i + f * 11) % 200 + 20)
+                        .astype(np.uint8)
+                        .tobytes(),
+                        quality=85,
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(mp4_encode_mjpeg(w, h, samples, fps=10))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "video/mp4", "bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return _cpu_partitions(df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def make_planted_dup_mp4s(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    period: int = 10,
+    side: int = 32,
+    n_frames: int = 3,
+) -> DataFrame:
+    """MJPEG-MP4 clip corpus with planted BYTE-DISTINCT duplicates:
+    ids with ``id % period == 1`` carry the SAME frames as ``id - 1``
+    but with every sample re-encoded as PROGRESSIVE JPEG (SOF2) — a
+    different container byte stream whose samples decode
+    bit-identically to their baseline siblings (the r11 invariance),
+    so the per-frame dHash sequence — and hence the clip fingerprint —
+    matches exactly while byte-level dedup can never pair them."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreducewordoccurences_spark.multimodal.jpeg import (  # noqa: PLC0415
+            jpeg_encode,
+            jpeg_encode_progressive,
+        )
+        from mapreducewordoccurences_spark.multimodal.mp4 import (  # noqa: PLC0415
+            mp4_encode_mjpeg,
+        )
+
+        def frame_px(pattern_id: int, f: int) -> bytes:
+            return _jpeg_noise_pixels(pattern_id * 131 + f * 977, side)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % period == 1:
+                    samples = [
+                        jpeg_encode_progressive(
+                            side, side, 1, frame_px(i - 1, f), quality=85
+                        )
+                        for f in range(n_frames)
+                    ]
+                else:
+                    samples = [
+                        jpeg_encode(
+                            side, side, 1, frame_px(i, f), quality=85
+                        )
+                        for f in range(n_frames)
+                    ]
+                payloads.append(mp4_encode_mjpeg(side, side, samples, fps=10))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synthetic", "mime": "video/mp4", "bytes": len(p)}
                         for p in payloads
                     ],
                 }

@@ -1,0 +1,136 @@
+"""Vendored MP4 (ISO BMFF) muxer/demuxer — Motion-JPEG profile
+(multimodal/mp4.py, r11). These are the default environment's
+POSITIVE-path video container tests (VERDICT r10 ask #4): genuine MP4
+bytes, genuine sample-table walking, genuine per-sample JPEG decode —
+no ffmpeg. The H.264 seam (multimodal/video.py) keeps its
+availability-gated tests; where ffmpeg exists, an extra cross-check
+here validates our container against ffprobe."""
+
+from __future__ import annotations
+
+import shutil
+import struct
+
+import numpy as np
+import pytest
+
+from mapreducewordoccurences_spark.multimodal.jpeg import (
+    jpeg_encode,
+    jpeg_encode_progressive,
+    jpeg_pixels,
+)
+from mapreducewordoccurences_spark.multimodal.mp4 import (
+    mp4_encode_mjpeg,
+    mp4_jpeg_frames,
+    mp4_meta,
+)
+
+
+def _gradient(w: int, h: int, o: int = 0) -> np.ndarray:
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return ((xx * 3 + yy * 5 + o) % 200 + 20).astype(np.uint8)
+
+
+def _clip(w: int = 32, h: int = 24, n: int = 5, progressive: bool = False):
+    enc = jpeg_encode_progressive if progressive else jpeg_encode
+    samples = [
+        enc(w, h, 1, _gradient(w, h, f * 7).tobytes(), quality=85)
+        for f in range(n)
+    ]
+    return samples, mp4_encode_mjpeg(w, h, samples, fps=10)
+
+
+def test_mux_demux_roundtrip_byte_identical():
+    samples, mp4 = _clip()
+    assert mp4_meta(mp4) == (32, 24, 5, "jpeg", 500.0)
+    assert mp4_jpeg_frames(mp4) == samples
+    for s in mp4_jpeg_frames(mp4):
+        assert jpeg_pixels(s) is not None
+
+
+def test_progressive_sample_variant_decodes_identically():
+    """The planted-corpus invariance: a clip remuxed with progressive
+    samples is a different byte stream whose frames decode
+    bit-identically."""
+    base_samples, base = _clip(progressive=False)
+    prog_samples, prog = _clip(progressive=True)
+    assert base != prog
+    assert mp4_meta(base)[:3] == mp4_meta(prog)[:3]
+    for a, b in zip(mp4_jpeg_frames(base), mp4_jpeg_frames(prog)):
+        assert jpeg_pixels(a) == jpeg_pixels(b)
+
+
+def test_mux_determinism():
+    samples, a = _clip()
+    _, b = _clip()
+    assert a == b
+
+
+def test_corrupt_and_foreign_bytes_return_none():
+    _, mp4 = _clip()
+    assert mp4_meta(None) is None
+    assert mp4_meta(b"") is None
+    assert mp4_meta(b"x" * 64) is None
+    assert mp4_jpeg_frames(mp4[:60]) is None
+    out = mp4_jpeg_frames(mp4[: len(mp4) // 2])
+    assert out is None or isinstance(out, list)
+    # absurd sample count claimed in stsz is capped, fast
+    bad = bytearray(mp4)
+    i = bad.find(b"stsz")
+    struct.pack_into(">I", bad, i + 12, 2**31)
+    assert mp4_jpeg_frames(bytes(bad)) is None
+
+
+def test_dhash_frames_serves_mp4_clips(spark):
+    """The clip fingerprint tier accepts MP4 payloads end-to-end: one
+    dHash row per sample, identical hashes for the progressive
+    re-encode of the same frames."""
+    from mapreducewordoccurences_spark.multimodal.media import dhash_frames
+
+    _, base = _clip(n=3)
+    _, prog = _clip(n=3, progressive=True)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(base), None), (2, "video", bytearray(prog), None)],
+        "media_id bigint, kind string, payload binary, meta string",
+    )
+    rows = dhash_frames(df).collect()
+    by_id: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], {})[r["frame_idx"]] = r["dhash"]
+    assert len(by_id[1]) == 3 and by_id[1] == by_id[2]
+
+
+needs_ffmpeg = pytest.mark.skipif(
+    shutil.which("ffprobe") is None,
+    reason="ffprobe absent — the vendored container is validated by "
+    "round-trip + sample-level JPEG cross-validation instead; where "
+    "ffprobe exists this test adds the second-demuxer check",
+)
+
+
+@needs_ffmpeg
+def test_ffprobe_reads_our_mp4():
+    """Second-implementation check wherever ffprobe exists: our muxed
+    container must probe with the same dims and frame count."""
+    import json
+    import subprocess
+    import tempfile
+
+    _, mp4 = _clip()
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+        f.write(mp4)
+        f.flush()
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v:0",
+                "-count_frames",
+                "-show_entries", "stream=width,height,nb_read_frames",
+                "-of", "json", f.name,
+            ],
+            capture_output=True,
+            timeout=60,
+        )
+    assert out.returncode == 0
+    s = json.loads(out.stdout)["streams"][0]
+    assert (int(s["width"]), int(s["height"])) == (32, 24)
+    assert int(s["nb_read_frames"]) == 5
