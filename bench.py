@@ -260,6 +260,7 @@ def main() -> int:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
 
     errors: dict[str, str] = {}
+    run_spread: dict[str, list[float]] = {}
 
     def time_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
@@ -267,6 +268,7 @@ def main() -> int:
         for name in names:
             fn = QUERIES[name]
             best = float("inf")
+            samples: list[float] = []
             for r in range(runs):
                 t = time.monotonic()
                 # one failing query must not zero out the whole round's
@@ -280,6 +282,7 @@ def main() -> int:
                 dt = round(time.monotonic() - t, 3)
                 if r == 0:
                     cold[name] = dt
+                samples.append(dt)
                 best = min(best, dt)
                 # operators that persist() reused subtrees (minhash/ngram)
                 # would otherwise accumulate caches across runs/queries and
@@ -287,7 +290,66 @@ def main() -> int:
                 spark.catalog.clearCache()
             if name not in errors:
                 timings[name] = best
+                run_spread[name] = samples
         return timings, cold
+
+    def _noise_band(names: list[str]) -> dict:
+        """Self-attributing variance fields (VERDICT r10 ask #6): the
+        headline scalar has a documented 16-26 s host-noise history on
+        this box, so the artifact carries the run SPREAD alongside the
+        best-of-N — a judge comparing rounds reads the band, not a
+        noise-dominated scalar. median_over_best near 1.0 = quiet box;
+        a round-over-round headline delta SMALLER than the band is a
+        noise-read, not a regression."""
+        spreads = [run_spread[n] for n in names if n in run_spread]
+        if not any(len(s) > 1 for s in spreads):
+            return {}
+
+        def med(xs: list[float]) -> float:
+            ss = sorted(xs)
+            m = len(ss) // 2
+            return ss[m] if len(ss) % 2 else (ss[m - 1] + ss[m]) / 2
+
+        best_total = sum(min(s) for s in spreads)
+        median_total = sum(med(s) for s in spreads)
+        worst_total = sum(max(s) for s in spreads)
+        rel = sorted(
+            (max(s) - min(s)) / min(s) for s in spreads if min(s) > 0
+        )
+        p90 = rel[min(len(rel) - 1, int(0.9 * len(rel)))] if rel else None
+        return {
+            "headline_best_sec": round(best_total, 3),
+            "headline_median_sec": round(median_total, 3),
+            "headline_worst_sec": round(worst_total, 3),
+            "median_over_best": round(median_total / best_total, 4)
+            if best_total
+            else None,
+            "per_query_rel_spread_p90": round(p90, 4)
+            if p90 is not None
+            else None,
+        }
+
+    def _load_context() -> dict:
+        """Host context recorded at bench time (the attribution the
+        r10 verdict had to reconstruct by hand): loadavg residue from
+        co-tenant work explains a hot reading without archaeology."""
+        ctx: dict = {}
+        try:
+            la = os.getloadavg()
+            ctx = {"loadavg_1m": round(la[0], 2), "loadavg_5m": round(la[1], 2)}
+        except OSError:
+            pass
+        try:
+            import subprocess  # noqa: PLC0415
+
+            out = subprocess.run(
+                ["pgrep", "-c", "java"], capture_output=True, timeout=5
+            )
+            # minus this bench's own JVM
+            ctx["co_jvms"] = max(0, int(out.stdout or 1) - 1)
+        except Exception:  # noqa: BLE001
+            pass
+        return ctx
 
     headline = list(HEADLINE)
     if os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL"):
@@ -298,10 +360,12 @@ def main() -> int:
         )
         headline.append("__inject_fail__")
 
+    load_ctx = _load_context()
     timings, cold = time_set(headline)
     extra, _ = time_set([q for q in EXTRA if q in QUERIES])
 
     total = round(sum(timings.values()), 3)
+    band = _noise_band(headline)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     record = {
         "metric": "headline_queries_total_sec",
@@ -316,6 +380,8 @@ def main() -> int:
         "runs_per_query": runs,
         "cpus": int(cpus),
         "errors": errors,
+        "noise_band": band,
+        "load_context": load_ctx,
     }
 
     # Per-query regression gate (tools/bench_diff.py): compare against
@@ -389,6 +455,8 @@ def main() -> int:
                 # the names so a tail capture still shows what moved
                 "regressions": [r["query"] for r in regressions],
                 "n_regressions": len(regressions),
+                "noise_band": band,
+                "load_context": load_ctx,
             }
         ),
         flush=True,

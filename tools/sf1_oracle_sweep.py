@@ -83,11 +83,19 @@ def main() -> int:
     from mapreducewordoccurences_spark.session import get_spark
 
     only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
-    to_run = (
-        [q.strip() for q in only.split(",") if q.strip()]
-        if only
-        else sorted(n for n in QUERIES if n in ORACLES and n not in EXCLUDE)
-    )
+    wide_manifest = "sf30" in out_path or "sf30" in sf_dir
+    if only:
+        to_run = [q.strip() for q in only.split(",") if q.strip()]
+    elif wide_manifest:
+        # sf30-wide: run exactly the manifest's WIDE set; the artifact
+        # embeds the per-row exclusion reasons (VERDICT r10 ask #5 —
+        # no silent curation; tests/test_sf30_manifest.py asserts the
+        # manifest covers the catalog exactly)
+        from tools.sf30_manifest import WIDE  # noqa: PLC0415
+
+        to_run = sorted(WIDE)
+    else:
+        to_run = sorted(n for n in QUERIES if n in ORACLES and n not in EXCLUDE)
     missing = [n for n in to_run if n not in QUERIES or n not in ORACLES]
     if missing:
         print(f"unknown queries: {missing}", file=sys.stderr)
@@ -172,8 +180,14 @@ def main() -> int:
         "n_green": n_green,
         "n_fail": n_fail,
     }
+    artifact: dict = {"summary": summary, "queries": results}
+    if wide_manifest:
+        from tools.sf30_manifest import EXCLUDED  # noqa: PLC0415
+
+        artifact["excluded"] = dict(sorted(EXCLUDED.items()))
+        summary["n_excluded"] = len(EXCLUDED)
     with open(out_path, "w") as f:
-        json.dump({"summary": summary, "queries": results}, f, indent=1)
+        json.dump(artifact, f, indent=1)
     print(json.dumps(summary))
     spark.stop()
     return 0 if n_fail == 0 else 1
