@@ -57,6 +57,10 @@ DEFAULT_PROBES = [
     "triangles_planted_acceptance",
     "mmr_diversified_topk",
     "matryoshka_prefix_recall",
+    # round-11 additions: vendored GIF/MP4 tiers (generator+codec
+    # bound — the probe checks the per-decade shape stays ~linear)
+    "media_gif_dhash_pairs",
+    "media_mp4_clip_dhash_pairs",
 ]
 
 
