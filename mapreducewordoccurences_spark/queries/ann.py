@@ -725,9 +725,14 @@ def q_mmr_diversified_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.where(F.col("vec_id") == 0)
     sl = ivf_knn(emb, probe, k=40, nlist=16, nprobe=4)
+    # ivf_sel feeds the plan TWICE (__n_sel and the shared join);
+    # since r11 the greedy is a lazy distributed stage, so without a
+    # cut the whole ivf_knn + greedy subtree would evaluate twice —
+    # pin the ≤ k-row selection once (bounded, the kmeans-centroid
+    # caching contract)
     ivf_sel = mmr_diversified_topk(
         emb, probe, k=8, lam=0.7, mu=0.3, shortlist_df=sl
-    )
+    ).localCheckpoint(eager=True)
     exact_sel = mmr_diversified_topk(
         emb, probe, k=8, shortlist=40, lam=0.7, mu=0.3
     )
