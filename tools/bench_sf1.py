@@ -80,6 +80,11 @@ SF1_CORE = [
     # additions don't perturb existing baselines)
     "media_jpeg_dhash_pairs",
     "embedding_ivfpq_persisted_topk",
+    # round-11 additions (vendored GIF + MP4/MJPEG tiers, and the
+    # now-distributed MMR over its IVF shortlist)
+    "media_gif_dhash_pairs",
+    "media_mp4_clip_dhash_pairs",
+    "mmr_diversified_topk_ivf",
 ]
 
 
