@@ -1047,8 +1047,12 @@ def _jpeg_pixels_progressive(payload: bytes) -> bytes | None:
                 if not _decode_plausible(w, h, total_blocks, n):
                     return None
                 sof = (w, h, comps, hmax, vmax, mcux, mcuy)
+                # plain Python lists during entropy decode: the scan
+                # loops touch coefficients one at a time, where list
+                # int access is ~5x faster than numpy scalar boxing;
+                # numpy takes over at the batched reconstruction
                 coef = [
-                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                    [[0] * 64 for _ in range(mcuy * vs * mcux * hs)]
                     for _, hs, vs, _tq in comps
                 ]
             elif marker == 0xDA:
@@ -1066,16 +1070,15 @@ def _jpeg_pixels_progressive(payload: bytes) -> bytes | None:
         if sof is None or coef is None or not got_scan:
             return None
 
-        w, h, comps, hmax, vmax, mcuy_, mcux_ = (
-            sof[0], sof[1], sof[2], sof[3], sof[4], sof[6], sof[5]
-        )
+        w, h, comps, hmax, vmax = sof[0], sof[1], sof[2], sof[3], sof[4]
         a_mat = _dct_a()
         planes = []
+        mcux, mcuy = sof[5], sof[6]
         for (cid, hs, vs, tq), store in zip(comps, coef):
             if tq not in qts:
                 return None
-            bv, bh = store.shape[0], store.shape[1]
-            blocks = store.reshape(-1, 64).astype(np.float64) * qts[
+            bv, bh = mcuy * vs, mcux * hs
+            blocks = np.asarray(store, dtype=np.float64) * qts[
                 tq
             ].reshape(64)
             spatial = (
@@ -1159,7 +1162,7 @@ def _progressive_scan(
 
     def refine_nz(blk, c):
         # correction bit for a coefficient with nonzero history
-        if rdr.bits(1) and (int(blk[c]) & p1) == 0:
+        if rdr.bits(1) and (blk[c] & p1) == 0:
             blk[c] += p1 if blk[c] > 0 else m1
 
     def ac_first(blk, actab):
@@ -1245,9 +1248,10 @@ def _progressive_scan(
                 for ci, td, _ta in order:
                     _, hs, vs, _tq = comps[ci]
                     st = coef[ci]
+                    row_w = mcux * hs
                     for v in range(vs):
                         for hh in range(hs):
-                            blk = st[my * vs + v, mx * hs + hh]
+                            blk = st[(my * vs + v) * row_w + mx * hs + hh]
                             if ah == 0:
                                 dc_first(blk, ci, td)
                             else:
@@ -1261,11 +1265,12 @@ def _progressive_scan(
         cbw = ((w * hs + hmax - 1) // hmax + 7) // 8
         cbh = ((h * vs + vmax - 1) // vmax + 7) // 8
         st = coef[ci]
+        row_w = mcux * hs
         actab = huff.get((1, ta))
         for by in range(cbh):
             for bx in range(cbw):
                 maybe_restart()
-                blk = st[by, bx]
+                blk = st[by * row_w + bx]
                 if ss == 0:
                     if ah == 0:
                         dc_first(blk, ci, td)
