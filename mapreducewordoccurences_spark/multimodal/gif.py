@@ -41,6 +41,33 @@ import struct
 
 _MAX_PIXELS = 16_777_216  # 4096 x 4096, same envelope as the JPEG codec
 _MAX_FRAMES = 512
+# Joint decode-work bounds (ADVICE r11): the per-canvas pixel cap and
+# frame-count cap are each individually legal at their maximums, so a
+# few-MB adversarial GIF could demand 512 frames x 16M px of composite
+# work and 512 x 48 MB of accumulated canvases. Bound the TOTAL, the
+# way jpeg._decode_plausible bounds baseline decode:
+_MAX_TOTAL_FRAME_PIXELS = 67_108_864  # sum of frame-rect pixels across frames
+_MAX_TOTAL_OUT_BYTES = 268_435_456  # accumulated RGB canvases (256 MB)
+# LZW density ceiling: deferred-clear 12-bit codes emit at most 4095
+# bytes per ~1.5 payload bytes (~2730x); 4096x is safely permissive —
+# it admits every spec-legal stream (incl. solid-color frames, which
+# legitimately reach ~2000x) while rejecting dims that no payload of
+# this length could encode.
+_MAX_PIXELS_PER_PAYLOAD_BYTE = 4096
+
+
+def _gif_decode_plausible(
+    total_px: int, total_out: int, payload_len: int
+) -> bool:
+    """True when the cumulative composite work (sum of frame-rect
+    pixels) and cumulative output (frames x canvas RGB bytes) are
+    jointly bounded — checked BEFORE each frame decodes, so an
+    adversarial payload is rejected without doing the work."""
+    if total_px > _MAX_TOTAL_FRAME_PIXELS:
+        return False
+    if total_out > _MAX_TOTAL_OUT_BYTES:
+        return False
+    return total_px <= _MAX_PIXELS_PER_PAYLOAD_BYTE * max(payload_len, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -156,16 +183,6 @@ def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _deinterlace(rows: list[bytes], h: int) -> list[bytes]:
-    ordered: list[bytes | None] = [None] * h
-    i = 0
-    for start, step in _INTERLACE_PASSES:
-        for y in range(start, h, step):
-            ordered[y] = rows[i]
-            i += 1
-    return ordered  # type: ignore[return-value]
-
-
 def _skip_subblocks(payload: bytes, pos: int) -> int:
     """Return the offset just past a sub-block chain starting at pos."""
     n = len(payload)
@@ -242,11 +259,21 @@ def gif_meta(payload: bytes | None) -> tuple[int, int, int, int] | None:
         return None
 
 
-def gif_pixels(payload: bytes | None) -> bytes | None:
-    """Decode ALL frames → concatenated interleaved RGB canvases
+def gif_pixels(
+    payload: bytes | None, max_frames: int | None = None
+) -> bytes | None:
+    """Decode frames → concatenated interleaved RGB canvases
     (n_frames · h · w · 3 bytes), or None. Frames composite onto the
     logical-screen canvas at their offsets; GCE-transparent pixels
-    leave the canvas ("do not dispose")."""
+    leave the canvas ("do not dispose").
+
+    ``max_frames`` stops after that many composited canvases —
+    frame-0-only consumers (the dHash/feature tier) pass 1 and skip
+    the remaining frames' LZW + composite work entirely (ADVICE r11).
+    Cumulative decode work is bounded jointly by
+    ``_gif_decode_plausible`` before each frame decodes."""
+    import numpy as np
+
     if not _is_gif(payload):
         return None
     try:
@@ -265,9 +292,11 @@ def gif_pixels(payload: bytes | None) -> bytes | None:
             bg = gct[3 * bg_index : 3 * bg_index + 3]
         else:
             bg = b"\x00\x00\x00"
-        canvas = bytearray(bg * (w * h))
+        canvas = np.empty((h, w, 3), np.uint8)
+        canvas[:] = np.frombuffer(bg, np.uint8)
         frames: list[bytes] = []
         transparent: int | None = None
+        total_px = 0
         n = len(payload)
         while pos < n:
             b = payload[pos]
@@ -297,27 +326,41 @@ def gif_pixels(payload: bytes | None) -> bytes | None:
                     return None
                 if left + iw > w or top + ih > h:
                     return None
+                total_px += iw * ih
+                if not _gif_decode_plausible(
+                    total_px, (len(frames) + 1) * w * h * 3, n
+                ):
+                    return None
                 min_code = payload[pos]
                 pos += 1
                 lzw, pos = _read_subblocks(payload, pos)
                 idx = _lzw_decode(lzw, min_code, iw * ih)
                 if len(idx) < iw * ih:
                     raise ValueError("short frame data")
-                rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]
+                arr = np.frombuffer(idx, np.uint8)[: iw * ih].reshape(ih, iw)
                 if ipacked & 0x40:
-                    rows = _deinterlace(rows, ih)
+                    src = [0] * ih
+                    i = 0
+                    for start, step in _INTERLACE_PASSES:
+                        for y in range(start, ih, step):
+                            src[y] = i
+                            i += 1
+                    arr = arr[src]
                 npal = len(pal) // 3
-                for y, row in enumerate(rows):
-                    base = ((top + y) * w + left) * 3
-                    for x, ci in enumerate(row):
-                        if ci == transparent or ci >= npal:
-                            continue
-                        o = base + 3 * x
-                        canvas[o : o + 3] = pal[3 * ci : 3 * ci + 3]
-                frames.append(bytes(canvas))
+                pal_arr = np.frombuffer(
+                    pal[: 3 * npal], np.uint8
+                ).reshape(npal, 3)
+                valid = arr < npal
+                if transparent is not None:
+                    valid &= arr != transparent
+                region = canvas[top : top + ih, left : left + iw]
+                region[valid] = pal_arr[arr[valid]]
+                frames.append(canvas.tobytes())
                 transparent = None
                 if len(frames) > _MAX_FRAMES:
                     return None
+                if max_frames is not None and len(frames) >= max_frames:
+                    return b"".join(frames)
             else:
                 return None
         if not frames:

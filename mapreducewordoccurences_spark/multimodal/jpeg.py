@@ -632,6 +632,11 @@ def _iter_segments(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             return
+        # spec-legal 0xFF fill bytes may pad before the marker byte
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            return
         marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -1009,6 +1014,11 @@ def _jpeg_pixels_progressive(payload: bytes) -> bytes | None:
         n_scans = 0
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
+                return None
+            # spec-legal 0xFF fill bytes may pad before the marker
+            while pos + 1 < n and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > n:
                 return None
             marker = payload[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -483,11 +483,12 @@ def _any_image_pixels(payload: bytes | None) -> tuple[tuple[int, int, int, int],
         return None if px is None else (meta, px)
     meta = gif_meta(payload)
     if meta is not None:
-        px = gif_pixels(payload)
+        # frame-0-only: skip LZW + composite work for later frames
+        px = gif_pixels(payload, max_frames=1)
         if px is None:
             return None
         w, h, _ch, _nf = meta
-        return meta, px[: w * h * 3]  # frame 0 of the canvas sequence
+        return meta, px[: w * h * 3]
     return None
 
 

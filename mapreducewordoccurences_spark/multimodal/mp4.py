@@ -42,7 +42,12 @@ import struct
 
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
 _MAX_SAMPLES = 4096
-_JPEG_FOURCC = {b"jpeg", b"mjpa", b"mjpb", b"mp4v"}
+# Only plain-JFIF sample entries qualify for the dHash tier (ADVICE
+# r11): 'mjpa'/'mjpb' are field-split (not whole JFIF streams) and
+# 'mp4v' is MPEG-4 Part 2 bitstream — all three stay on the ffmpeg
+# seam (multimodal/video.py). Each sample is additionally validated
+# to start with an SOI marker before being returned.
+_JPEG_FOURCC = {b"jpeg"}
 
 
 def _boxes(data: bytes, start: int, end: int):
@@ -252,7 +257,10 @@ def mp4_jpeg_frames(
         for off, size in _sample_ranges(t)[:max_frames]:
             if off + size > n:
                 return None
-            out.append(payload[off : off + size])
+            sample = payload[off : off + size]
+            if sample[:2] != b"\xff\xd8":  # not a JFIF stream → not MJPEG
+                return None
+            out.append(sample)
         return out or None
     except (ValueError, IndexError, struct.error):
         return None

@@ -181,3 +181,91 @@ def test_our_decoder_reads_imageio_gif_bitexact(imageio):
         assert px is not None, "vendored decoder rejected an ImageIO GIF"
         arr = np.frombuffer(px[: w * h * 3], np.uint8).reshape(h, w, 3)
         assert (arr[:, :, 0] == img).all()
+
+
+# ---------------------------------------------------------------------------
+# joint work bounds + frame-0 early stop (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_frame_gif(w: int, h: int, n_frames: int) -> bytes:
+    """Hand-built GIF: a large logical screen with ``n_frames`` 1x1
+    image descriptors — the adversarial shape where per-frame caps
+    pass individually but accumulated canvas output explodes."""
+    from mapreducewordoccurences_spark.multimodal.gif import _lzw_encode
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80, 0, 0])  # GCT present, 2 entries
+    out += b"\x00\x00\x00\xff\xff\xff"
+    px = _lzw_encode(b"\x01", 2)
+    for _ in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+        out += bytes([2, len(px)]) + px + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_accumulated_canvas_output_bounded():
+    """512 tiny frames on a 2048x2048 canvas would legally demand
+    ~6 GB of accumulated per-frame canvases — the joint bound must
+    reject it (per-frame caps alone cannot: each frame is 1 px)."""
+    import time
+
+    g = _tiny_frame_gif(2048, 2048, 512)
+    t0 = time.time()
+    assert gif_pixels(g) is None
+    assert time.time() - t0 < 5.0
+    # a modest accumulation stays in service
+    ok = _tiny_frame_gif(64, 64, 8)
+    assert gif_pixels(ok) is not None
+
+
+def test_lzw_density_bound_rejects_implausible_dims():
+    """A full-canvas frame claimed against a few-hundred-byte payload
+    exceeds any spec-legal LZW expansion — rejected BEFORE the LZW
+    decode, mirroring jpeg._decode_plausible."""
+    import time
+
+    from mapreducewordoccurences_spark.multimodal.gif import _lzw_encode
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 4000, 4000)  # inside the per-canvas cap
+    out += bytes([0x80, 0, 0])
+    out += b"\x00\x00\x00\xff\xff\xff"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4000, 4000) + b"\x00"
+    px = _lzw_encode(b"\x01" * 32, 2)
+    out += bytes([2, len(px)]) + px + b"\x00\x3b"
+    t0 = time.time()
+    assert gif_pixels(bytes(out)) is None
+    assert time.time() - t0 < 1.0
+
+
+def test_gif_decode_plausible_unit():
+    from mapreducewordoccurences_spark.multimodal.gif import (
+        _MAX_PIXELS_PER_PAYLOAD_BYTE,
+        _MAX_TOTAL_FRAME_PIXELS,
+        _MAX_TOTAL_OUT_BYTES,
+        _gif_decode_plausible,
+    )
+
+    assert _gif_decode_plausible(1000, 3000, 1000)
+    assert not _gif_decode_plausible(_MAX_TOTAL_FRAME_PIXELS + 1, 0, 10**9)
+    assert not _gif_decode_plausible(1000, _MAX_TOTAL_OUT_BYTES + 1, 10**9)
+    assert not _gif_decode_plausible(
+        _MAX_PIXELS_PER_PAYLOAD_BYTE * 100 + 1, 0, 100
+    )
+
+
+def test_max_frames_early_stop_matches_full_decode_prefix():
+    """frame-0-only consumers must get byte-identical frame 0 while
+    skipping later frames' LZW + composite work."""
+    base = _gradient(20, 15).tobytes()
+    shifted = (np.frombuffer(base, np.uint8) + 9).astype(np.uint8).tobytes()
+    g = gif_encode(20, 15, [base, shifted, base])
+    full = gif_pixels(g)
+    first = gif_pixels(g, max_frames=1)
+    assert len(first) == 20 * 15 * 3
+    assert first == full[: 20 * 15 * 3]
+    two = gif_pixels(g, max_frames=2)
+    assert two == full[: 2 * 20 * 15 * 3]

@@ -417,3 +417,23 @@ def test_png_codec_roundtrip_vs_imageio_bitexact(imageio):
             # ImageIO may expand gray+alpha/palette layouts; compare the
             # leading channels it preserved
             assert (got[:, :, :ch] == want).all()
+
+
+def test_ff_fill_bytes_before_markers_are_skipped():
+    """ITU T.81 B.1.1.2: any marker may be preceded by 0xFF fill
+    bytes. A padded-but-valid stream must decode identically to its
+    unpadded sibling in BOTH marker walks (baseline + progressive)."""
+    from mapreducewordoccurences_spark.multimodal.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    w, h = 24, 17
+    img = _gradient(w, h)
+    for enc in (jpeg_encode, jpeg_encode_progressive):
+        p = enc(w, h, 1, img.tobytes(), quality=88)
+        padded = p[:2] + b"\xff\xff\xff" + p[2:]  # fill before first marker
+        assert jpeg_meta(padded) == jpeg_meta(p)
+        assert jpeg_pixels(padded) == jpeg_pixels(p)
+    # a trailing run of fills stays graceful
+    p = jpeg_encode(w, h, 1, img.tobytes(), quality=88)
+    assert jpeg_pixels(p[:2] + b"\xff" * 8) is None

@@ -134,3 +134,29 @@ def test_ffprobe_reads_our_mp4():
     s = json.loads(out.stdout)["streams"][0]
     assert (int(s["width"]), int(s["height"])) == (32, 24)
     assert int(s["nb_read_frames"]) == 5
+
+
+# ---------------------------------------------------------------------------
+# MJPEG extraction set restricted to plain JFIF (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_non_jfif_codec_families_stay_on_ffmpeg_seam():
+    """'mp4v' (MPEG-4 Part 2) and 'mjpa' (field-split) sample entries
+    are NOT plain JFIF streams — the dHash tier must decline them
+    rather than hand opaque bitstreams to the JPEG decoder where they
+    silently become NULL hashes."""
+    _, mp4 = _clip()
+    assert mp4.count(b"jpeg") == 1  # sample-entry fourcc only
+    for fourcc in (b"mp4v", b"mjpa", b"mjpb", b"avc1"):
+        patched = mp4.replace(b"jpeg", fourcc)
+        assert mp4_meta(patched)[3] == fourcc.decode()  # meta still reports
+        assert mp4_jpeg_frames(patched) is None
+
+
+def test_samples_validated_as_jfif_streams():
+    """Even under a 'jpeg' fourcc, samples that do not start with an
+    SOI marker are rejected — defense against mislabeled tracks."""
+    mp4 = mp4_encode_mjpeg(8, 8, [b"not a jpeg sample at all"])
+    assert mp4_meta(mp4)[3] == "jpeg"
+    assert mp4_jpeg_frames(mp4) is None
