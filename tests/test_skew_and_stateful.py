@@ -213,3 +213,94 @@ def test_heavy_hitters_rejects_bad_share(spark):
 
     with pytest.raises(ValueError):
         heavy_hitters(spark.range(1), ["id"], min_share=0.0)
+
+
+def test_planted_skew_mitigation_digest_parity(spark):
+    """CI pin of the sf30 skew probe's conclusion (SKEW_r11.json,
+    VERDICT r11 ask #6): on the probe's exact planted-skew shape (80%
+    of events rows remapped to key 0, DECIMAL-carried values so
+    digests are order-independent), every mitigation variant — naive
+    sort-merge (AQE off), AQE skew-join, salted_join, broadcast — and
+    both agg variants must produce identical digests. A salting change
+    that alters answers fails here instead of waiting for the next
+    manual sf30 probe."""
+    import pyspark.sql.functions as F
+
+    from mapreducewordoccurences_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    skewed = events.select(
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(5)) < 4, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.col("value").cast("decimal(20,6)").alias("value"),
+    )
+    dim_rows = (
+        skewed.select("k").distinct()
+        .withColumn(
+            "weight",
+            (F.pmod(F.col("k"), F.lit(97)) + 1).cast("decimal(20,6)"),
+        )
+        .collect()
+    )
+    dim = spark.createDataFrame(dim_rows, "k long, weight decimal(20,6)")
+
+    def digest(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.sum("weight").alias("sw"),
+        ).collect()[0]
+        return (int(r["n"]), str(r["sv"]), str(r["sw"]))
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        digests = {}
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        digests["naive_aqe_off"] = digest(skewed.join(dim, "k"))
+        digests["salted_32"] = digest(salted_join(skewed, dim, "k", n_salts=32))
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        digests["naive_aqe_skewjoin"] = digest(skewed.join(dim, "k"))
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        digests["broadcast_dim"] = digest(skewed.join(F.broadcast(dim), "k"))
+        assert len(set(digests.values())) == 1, digests
+
+        def agg_digest(out):
+            r = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("sv").alias("sv"),
+                F.sum("n2").alias("sw"),
+            ).collect()[0]
+            return (int(r["n"]), str(r["sv"]), str(r["sw"]))
+
+        plain = agg_digest(
+            skewed.groupBy("k").agg(
+                F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n2")
+            )
+        )
+        salted = agg_digest(
+            salted_agg(
+                skewed, ["k"],
+                {"sv": ("value", "sum"), "n2": ("value", "count")},
+                n_salts=32,
+            )
+        )
+        assert plain == salted, (plain, salted)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -23,7 +23,10 @@ from __future__ import annotations
 # rows the wide sf30 sweep runs (cross-engine vs DuckDB, 40GB cap)
 WIDE = {
     "asof_join_purchase_signup",
+    "corr_quantity_price_by_flag",
     "cube_lineitem_flags",
+    "dataset_split_counts",
+    "date_functions_orders",
     "dedup_exact",
     "embedding_cosine_topk",
     "embedding_ivf_persisted_topk",
@@ -223,29 +226,9 @@ EXCLUDED = {
         "at sf1, and duplicating the family at sf30 doubles sweep cost "
         "without new coverage"
     ),
-    "corr_quantity_price_by_flag": (
-        "plan shape represented at sf30 by wide sibling "
-        "q1_pricing_summary + orders family (single-pass scan-agg / "
-        "scalar-function surface over orders/lineitem); the full catalog "
-        "is cross-engine green at sf1, and duplicating the family at sf30 "
-        "doubles sweep cost without new coverage"
-    ),
     "cusum_daily_value_shift": (
         "drift/test statistic over a bounded daily/bucket panel (scan-agg "
         "shape, constant output); cross-engine green at sf1"
-    ),
-    "dataset_split_counts": (
-        "deterministic key-hash sampling/split/weighting map shape (no "
-        "shuffle beyond broadcast weights); its contracts are "
-        "fraction/leakage acceptance gates, sf-invariant; cross-engine "
-        "green at sf1"
-    ),
-    "date_functions_orders": (
-        "plan shape represented at sf30 by wide sibling "
-        "q1_pricing_summary + orders family (single-pass scan-agg / "
-        "scalar-function surface over orders/lineitem); the full catalog "
-        "is cross-engine green at sf1, and duplicating the family at sf30 "
-        "doubles sweep cost without new coverage"
     ),
     "decontaminate_ngram_overlap": (
         "gated at sf10/sf30 against the pure-Python reference oracle "
