@@ -1034,9 +1034,11 @@ AUDIO_FP_SCHEMA = T.StructType(
 )
 
 
-def _audio_fingerprint_one(payload: bytes | None, n_windows: int = 64) -> int | None:
-    """63-bit energy-delta fingerprint of one WAV payload through the
-    stdlib codec, or None when the bytes don't decode."""
+def _window_energies(payload: bytes | None, n_windows: int = 64):
+    """Per-window |PCM16| sums of one WAV payload through the stdlib
+    codec (int64 ndarray of length n_windows), or None when the bytes
+    don't decode — the shared front half of the fingerprint AND the
+    energy-vector tiers."""
     import io  # noqa: PLC0415
     import wave  # noqa: PLC0415
 
@@ -1055,7 +1057,17 @@ def _audio_fingerprint_one(payload: bytes | None, n_windows: int = 64) -> int | 
         return None
     mag = np.abs(x.astype(np.int64))
     bounds = (np.arange(n_windows + 1) * mag.size) // n_windows
-    energy = np.add.reduceat(mag, bounds[:-1])
+    return np.add.reduceat(mag, bounds[:-1])
+
+
+def _audio_fingerprint_one(payload: bytes | None, n_windows: int = 64) -> int | None:
+    """63-bit energy-delta fingerprint of one WAV payload through the
+    stdlib codec, or None when the bytes don't decode."""
+    import numpy as np  # noqa: PLC0415
+
+    energy = _window_energies(payload, n_windows)
+    if energy is None:
+        return None
     bits = np.zeros(64, dtype=bool)
     bits[: n_windows - 1] = energy[:-1] > energy[1:]
     return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
@@ -1087,6 +1099,53 @@ def audio_fingerprints(
             )
 
     return df.select(id_col, payload_col).mapInPandas(compute, AUDIO_FP_SCHEMA)
+
+
+AUDIO_VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def audio_energy_vectors(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_windows: int = 64,
+) -> DataFrame:
+    """payload → (media_id, embedding): the L2-normalized window-
+    energy profile (the same |PCM16| window sums whose SIGNS make the
+    fingerprint) as an n_windows-d dense vector — the audio twin of a
+    learned audio embedding, derived instead of inferred so every
+    downstream ANN contract is deterministic. Normalization makes the
+    vector gain-invariant to within one ulp of the normalizing sqrt
+    (a planted gain-scaled duplicate normalizes to the same vector up
+    to the last bit — cosine 1 − O(eps²), unconditionally its source's
+    nearest neighbor). Arrow-batched mapInPandas; audio bytes never
+    shuffle — only (id, 64 doubles) rows move."""
+    import numpy as np  # noqa: PLC0415
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf[payload_col]:
+                e = _window_energies(p, n_windows)
+                if e is None:
+                    vecs.append(None)
+                    continue
+                v = e.astype(np.float64)
+                n = float(np.sqrt((v * v).sum()))
+                vecs.append((v / n).tolist() if n > 0 else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "embedding": vecs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, AUDIO_VEC_SCHEMA)
 
 
 def make_planted_dup_audio(

@@ -621,6 +621,157 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_rrf_reranked_topk",
+    # second-stage rerank of the RRF top-10: per-candidate CROSS
+    # features (capped query-term tf from the doc text × cosine to the
+    # probe vector) folded into one score, compared at 1e-6 grain with
+    # doc_id tie-break (the MMR-oracle grain protocol — both engines
+    # execute the identical double ops: dot/(sqrt·sqrt), one divide,
+    # one multiply, floor(x·1e6 + 0.5))
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), stats AS (
+      SELECT avg(len(t)) AS avgdl, count(*) AS n_docs FROM toks
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl, w AS word, count(*) AS tf
+      FROM (SELECT doc_id, t, unnest(t) AS w FROM toks)
+      WHERE w IN ('spark', 'window', 'join', 'stream')
+      GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), scores AS (
+      SELECT doc_id,
+             SUM( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) ) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN stats s
+      GROUP BY doc_id
+    ), lexr AS (
+      SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rn
+        FROM scores)
+      WHERE rn <= 50
+    ), vecr AS (
+      SELECT doc_id, CAST(rn AS INT) AS vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) DESC,
+                 e.vec_id) AS rn
+        FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+        WHERE e.vec_id <> 0)
+      WHERE rn <= 50
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0) AS rrf
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    ), cand AS (
+      SELECT doc_id, CAST(rn AS INT) AS fused_rank FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+      WHERE rn <= 10
+    ), feats AS (
+      SELECT c.doc_id, c.fused_rank,
+             COALESCE(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))),
+               0) AS cosv,
+             COALESCE(
+               least(len(list_filter(t.t, x -> x = 'spark')), 5)
+               + least(len(list_filter(t.t, x -> x = 'window')), 5)
+               + least(len(list_filter(t.t, x -> x = 'join')), 5)
+               + least(len(list_filter(t.t, x -> x = 'stream')), 5), 0) AS lex
+      FROM cand c
+      LEFT JOIN embeddings e ON e.vec_id = c.doc_id
+      LEFT JOIN embeddings q ON q.vec_id = 0
+      LEFT JOIN toks t ON t.doc_id = c.doc_id
+    )
+    SELECT doc_id, fused_rank, CAST(row_number() OVER (
+             ORDER BY CAST(floor(cosv * (1 + lex / 20.0) * 1000000 + 0.5) AS BIGINT) DESC,
+                      doc_id) AS INT) AS rerank
+    FROM feats
+    """,
+)
+def q_hybrid_rrf_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-STYLE second-stage reranker over the hybrid RRF
+    output (VERDICT r11 ask #8) — the standard two-stage serving
+    shape: a cheap first stage produces a small candidate set, an
+    expensive PER-PAIR scorer reorders it. The scorer here is a
+    deterministic feature-interaction stand-in for a model forward
+    pass (this box ships no model runtime): per (query, doc) pair it
+    computes a capped query-term tf from the DOC TEXT and the cosine
+    to the probe VECTOR and multiplies them — a genuine crossing
+    term, which is exactly what distinguishes a cross-encoder from
+    the late-fusion first stage. Swapping in a real cross-encoder
+    changes one Pandas UDF at this seam; the plan shape stays.
+
+    Scale shape: the candidate set is 10 rows — every join here
+    broadcasts candidates against documents/embeddings (probe-side
+    lookups, no corpus shuffle beyond the first stage's own bounded
+    top-50 legs); the expensive scorer's cost is O(candidates), not
+    O(corpus), which is the entire point of two-stage retrieval."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        cosine_similarity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = q_hybrid_rrf(spark, sf_dir).select("doc_id", "fused_rank")
+
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), "[^a-z0-9]+").alias("__t"),
+    )
+    lex = sum(
+        F.least(
+            F.size(F.filter("__t", lambda x: x == F.lit(w))), F.lit(5)
+        )
+        for w in ("spark", "window", "join", "stream")
+    )
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    feats = (
+        F.broadcast(cand)
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+            "left",
+        )
+        .crossJoin(F.broadcast(probe))
+        .join(toks.withColumn("__lex", lex).select("doc_id", "__lex"),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            "fused_rank",
+            F.coalesce(
+                cosine_similarity("embedding", "__q"), F.lit(0.0)
+            ).alias("__cos"),
+            F.coalesce(F.col("__lex"), F.lit(0)).alias("__lexv"),
+        )
+    )
+    grain = F.floor(
+        F.col("__cos")
+        * (F.lit(1) + F.col("__lexv") / F.lit(20.0))
+        * F.lit(1000000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return feats.select(
+        "doc_id",
+        "fused_rank",
+        F.row_number()
+        .over(Window.orderBy(grain.desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("rerank"),
+    )
+
+
 def _mmr_oracle(k: int = 8, shortlist: int = 40) -> str:
     """Unrolled greedy MMR as a chained CTE (same protocol as the BPE
     merge-loop and PageRank oracles): round i computes, for every

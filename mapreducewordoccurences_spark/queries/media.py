@@ -600,3 +600,50 @@ def q_media_jpeg_requant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_planted"),
         ((n == 0) | (F.count("__hit") / n >= 0.9)).alias("recall_ok"),
     )
+
+
+@register(
+    "media_audio_ivf_topk",
+    # same acceptance contract as the embedding ANN tiers, for audio:
+    # per-probe recall@5 of the IVF tier vs brute force over the
+    # window-energy vectors (both computed by the engine; the oracle
+    # states the acceptance the booleans must meet)
+    """
+    SELECT doc_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def q_media_audio_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-similarity ANN (VERDICT r11 ask #8): the IVF lifecycle
+    reused unchanged over AUDIO-derived vectors — synthesize the
+    planted-dup WAV corpus, map each clip to its L2-normalized 64-d
+    window-energy profile (multimodal/media.py audio_energy_vectors;
+    the embedding stand-in this box can compute deterministically),
+    then run the same inline IVF-flat tier the embedding rows gate
+    (functions/similarity.py ivf_knn: k-means cells, nprobe-pruned
+    candidate join, exact re-rank) against brute force. Acceptance:
+    per-probe recall@5 >= 0.4 (nprobe 4 of nlist 8 scans ~half the
+    cells; planted gain-dups sit at cosine ~1 and anchor recall).
+
+    Scale shape: decode + vectorize is the map-only mapInPandas pass
+    (audio bytes never shuffle, 64 doubles/clip move); the ANN is the
+    embedding tier's own plan — at real scale the persisted
+    build_ivf_index/ivf_probe layout applies verbatim to these
+    vectors."""
+    from mapreducewordoccurences_spark.functions.similarity import ivf_knn
+    from mapreducewordoccurences_spark.multimodal.media import (
+        audio_energy_vectors,
+        bounded_persist,
+        make_planted_dup_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vecs = bounded_persist(
+        audio_energy_vectors(make_planted_dup_audio(docs))
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("media_id").alias("vec_id"), "embedding")
+    )
+    queries = vecs.where(F.col("vec_id") < 10)
+    approx = ivf_knn(vecs, queries, k=5, nlist=8, nprobe=4)
+    exact = brute_force_knn(vecs, queries, k=5)
+    return _knn_recall_acceptance(approx, exact, queries, k=5, min_recall=0.4)

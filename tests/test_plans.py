@@ -313,6 +313,10 @@ PYTHON_ALLOWED = {
     "media_gif_dhash_pairs",
     "media_mp4_dims",
     "media_mp4_clip_dhash_pairs",
+    # r12: WAV synth + window-energy vectorization is the same
+    # Arrow-batched mapInPandas contract; the IVF tier downstream
+    # (cells, probe join, re-rank) is pure JVM
+    "media_audio_ivf_topk",
     # r11: the MMR greedy phase moved OFF the driver into
     # FlatMapGroupsInPandas per query_id (VERDICT r10 ask #1) — an
     # inherently sequential per-query selection that was previously a
@@ -608,3 +612,17 @@ def test_parquet_row_count_matches_scan():
             f"SELECT count(*) FROM '{SF_DIR}/{table}.parquet'"
         ).fetchone()[0]
         assert meta_n == scan_n > 0
+
+
+def test_reranker_broadcasts_candidates_no_python(spark):
+    """The second-stage reranker's joins must broadcast the 10-row
+    candidate set against documents/embeddings — no corpus-side
+    shuffle beyond the first stage's own bounded top-50 legs, and the
+    deterministic stand-in scorer stays JVM-side."""
+    from mapreducewordoccurences_spark.plans.explain import formatted_plan
+
+    df = q(spark, "hybrid_rrf_reranked_topk")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert not has_python_eval(df)

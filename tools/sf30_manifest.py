@@ -491,6 +491,13 @@ EXCLUDED = {
         "duplicating the family at sf30 doubles sweep cost without new "
         "coverage"
     ),
+    "hybrid_rrf_reranked_topk": (
+        "plan shape represented at sf30 by wide sibling the six wide "
+        "embedding rows (brute/IVF/PQ/IVFPQ incl. both persisted-index "
+        "probes); the second-stage scorer is O(10 candidates) by "
+        "construction — sf-invariant work on top of the already-gated "
+        "first stage; cross-engine green at sf0.01+"
+    ),
     "hybrid_rrf_retrieval": (
         "plan shape represented at sf30 by wide sibling the six wide "
         "embedding rows (brute/IVF/PQ/IVFPQ incl. both persisted-index "
@@ -634,6 +641,12 @@ EXCLUDED = {
         "per-doc WAV synthesis dominates at sf30; same "
         "map-only-fingerprint + exact-groupBy shape as the wide image "
         "rows; green at sf1"
+    ),
+    "media_audio_ivf_topk": (
+        "per-doc WAV synthesis dominates at sf30 (generator-bound, like "
+        "media_audio_fingerprint_pairs); the IVF lifecycle it reuses is "
+        "gated at sf30 by the wide embedding rows over the same "
+        "functions/similarity.py operators"
     ),
     "media_audio_stats": (
         "synthetic-media metadata row: the decode-meta path is per-image "
