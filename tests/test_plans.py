@@ -482,6 +482,9 @@ GLOBAL_WINDOW_BOUNDED = {
     "bm25_topk_docs": None,
     # post-limit shortlists: lex top-50 / vec top-50 / fused <= 100
     "hybrid_rrf_retrieval": None,
+    # the same first-stage shortlists plus one rerank window over the
+    # fused_rank <= 10 candidate set — every axis post-limit bounded
+    "hybrid_rrf_reranked_topk": None,
     # kmeans/codebook seed selection: orderBy(id).limit(nlist) BEFORE
     # the row_number window — input bounded at nlist rows
     "embedding_pq_topk": None,
