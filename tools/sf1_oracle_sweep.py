@@ -47,6 +47,13 @@ Usage: python tools/sf1_oracle_sweep.py [round] [sf_dir] [out_path]
        SPARK_GRAFT_SWEEP_ONLY=q1,q2 ... — re-run just those queries
        and merge into an existing out_path (post-fix partial re-sweep;
        the summary is recomputed over the merged record set).
+       SPARK_GRAFT_SWEEP_SHUFFLE_PARTITIONS / SPARK_GRAFT_SWEEP_DRIVER_MEM
+       — scale the session to the decade being swept. The defaults
+       (32 / 24g) are sized for sf1-sf30; at sf100 a 32-partition
+       shuffle puts ~19M lineitem rows in every join task and 32
+       concurrent tasks OOM the single local JVM (first observed on
+       q5 at sf100). 256 partitions / 48g is the proven sf100 shape —
+       the same partitions-sized-to-data rule a real cluster follows.
 """
 
 from __future__ import annotations
@@ -106,9 +113,14 @@ def main() -> int:
     spark = get_spark(
         "sf1-sweep",
         master="local[32]",
-        shuffle_partitions=32,
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SWEEP_SHUFFLE_PARTITIONS") or "32"
+        ),
         extra_conf={
-            "spark.driver.memory": "24g",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_SWEEP_DRIVER_MEM"
+            )
+            or "24g",
             "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
             # the compare COLLECTS both sides; at sf30 the biggest
             # row (sessionize: ~28M sessions) serializes past the 1g
