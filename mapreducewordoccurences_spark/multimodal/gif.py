@@ -292,8 +292,13 @@ def gif_pixels(
             bg = gct[3 * bg_index : 3 * bg_index + 3]
         else:
             bg = b"\x00\x00\x00"
-        canvas = np.empty((h, w, 3), np.uint8)
-        canvas[:] = np.frombuffer(bg, np.uint8)
+        # canvas is allocated lazily, only once the first frame passes
+        # the plausibility gate — an implausible payload (rejected
+        # before any LZW decode) must not pay for a canvas either.
+        # bytearray(bg * n) fills by memcpy; a broadcast assignment of
+        # the 3-byte background runs numpy's strided inner loop over
+        # every pixel instead.
+        canvas: "np.ndarray | None" = None
         frames: list[bytes] = []
         transparent: int | None = None
         total_px = 0
@@ -331,6 +336,10 @@ def gif_pixels(
                     total_px, (len(frames) + 1) * w * h * 3, n
                 ):
                     return None
+                if canvas is None:
+                    canvas = np.frombuffer(
+                        bytearray(bg * (w * h)), np.uint8
+                    ).reshape(h, w, 3)
                 min_code = payload[pos]
                 pos += 1
                 lzw, pos = _read_subblocks(payload, pos)

@@ -24,9 +24,18 @@ coalescing, and the right advisory size is job- and scale-specific.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # propagate the numpy THP opt-out (see package __init__) to
+    # executor-side Python workers on real clusters, where the driver
+    # process env is not inherited; local mode inherits it anyway
+    "spark.executorEnv.NUMPY_MADVISE_HUGEPAGE": os.environ.get(
+        "NUMPY_MADVISE_HUGEPAGE",
+        "1" if os.environ.get("SPARK_GRAFT_NUMPY_HUGEPAGE") == "1" else "0",
+    ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
