@@ -68,25 +68,37 @@ def connected_components(
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = truncate(nodes.select("node", F.col("node").alias("component")))
 
+    comp_type = dict(labels.dtypes)["component"]
     for _ in range(max_iterations):
-        # candidate label per node: min over (own label, neighbors' labels)
-        neighbor_labels = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "component")
+        # candidate label per node: min over (own label, neighbors'
+        # labels). The node's OWN previous label rides along as
+        # ``__old`` (each node contributes exactly one non-null __old,
+        # so min() recovers it), which turns the convergence check
+        # into a scan of the just-checkpointed table — the former
+        # shape re-joined old and new labels every round, paying two
+        # extra exchanges + a join per iteration for a boolean.
+        own = labels.select(
+            "node", "component", F.col("component").alias("__old")
+        )
+        neighbor_labels = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"),
+            "component",
+            F.lit(None).cast(comp_type).alias("__old"),
         )
         new_labels = truncate(
-            labels.unionByName(neighbor_labels)
+            own.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__old"),
+            )
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.component") != F.col("o.component"))
+            new_labels.where(F.col("component") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     else:

@@ -103,20 +103,47 @@ def _sq_dist(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Collapse the (``__cell``, ``__centroid``) table to ONE row
+    holding the whole codebook as an array — the broadcastable form
+    the fold-based assignment consumes. nlist × dim doubles: a few KB
+    at any sane nlist."""
+    return centroids.agg(
+        F.collect_list(F.struct("__cell", "__centroid")).alias("__cents")
+    )
+
+
+def _nearest_cell(vec_col: Column | str, cents_col: Column | str) -> Column:
+    """argmin over the in-row centroid array: score every centroid,
+    take the (dist, cell)-lexicographic minimum. Identical arithmetic
+    and tie-break (lowest cell on equal distance) as the former
+    ``min_by(__cell, struct(__dist, __cell))`` — but evaluated inside
+    one projection, so assignment needs NO shuffle at all (guide
+    §2.4): the old shape shuffled corpus × nlist scored rows back
+    into a groupBy(id) just to run the argmin."""
+    scored = F.transform(
+        _c(cents_col),
+        lambda ct: F.struct(
+            _sq_dist(_c(vec_col), ct["__centroid"]).alias("__d"),
+            ct["__cell"].alias("__cell"),
+        ),
+    )
+    return F.array_min(scored)["__cell"]
+
+
 def _assign_cells(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast cross-join (centroids are
-    nlist rows — tiny) then min_by with a (dist, cell) total order."""
-    scored = df.crossJoin(F.broadcast(centroids)).select(
+    """Nearest-centroid assignment, map-only: the centroid table rides
+    in as a broadcast single-row array and the argmin folds per row —
+    zero Exchange (the former broadcast-join + groupBy(id).min_by
+    shuffled every vector once per assignment; at 100 TB that was a
+    corpus-sized shuffle per Lloyd round)."""
+    cents = _centroid_array(centroids)
+    return df.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
+        _nearest_cell(F.col(vec_col), F.col("__cents")).alias("__cell"),
         F.col(vec_col),
-        F.col("__cell"),
-        _sq_dist(vec_col, "__centroid").alias("__dist"),
-    )
-    return scored.groupBy(id_col).agg(
-        F.min_by("__cell", F.struct("__dist", "__cell")).alias("__cell"),
-        F.first(vec_col).alias(vec_col),
     )
 
 
@@ -188,21 +215,32 @@ def _probe_cells(
     query_id_col: str,
 ) -> DataFrame:
     """(query_id, __qvec, __cell) for each query's nprobe nearest
-    cells — centroids broadcast (nlist rows), per-query top-nprobe via
-    WindowGroupLimit."""
+    cells — centroids broadcast as a single collapsed-array row; the
+    per-query top-nprobe is an in-row array_sort + slice (same
+    (dist, cell) total order the former ranking window used), so
+    probing plans no window Exchange at all."""
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec"))
-    probe_scored = q.crossJoin(F.broadcast(centroids)).select(
+    cents = _centroid_array(centroids)
+    scored = q.crossJoin(F.broadcast(cents)).select(
         query_id_col,
         "__qvec",
-        "__cell",
-        _sq_dist("__qvec", "__centroid").alias("__dist"),
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda ct: F.struct(
+                        _sq_dist(F.col("__qvec"), ct["__centroid"]).alias("__dist"),
+                        ct["__cell"].alias("__cell"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("__near"),
     )
-    return top_k_per_group(
-        probe_scored,
-        [query_id_col],
-        [F.col("__dist").asc(), F.col("__cell").asc()],
-        nprobe,
-    ).select(query_id_col, "__qvec", "__cell")
+    return scored.select(
+        query_id_col, "__qvec", F.explode(F.col("__near.__cell")).alias("__cell")
+    )
 
 
 def _rerank_candidates(cand: DataFrame, k: int, query_id_col: str) -> DataFrame:
@@ -537,6 +575,30 @@ def _subvectors(
     )
 
 
+def _book_arrays(books: DataFrame) -> DataFrame:
+    """(__sub, __codes: array<struct<__code, __cvec>>) — one row per
+    subspace, the broadcastable per-subspace codebook the fold-based
+    nearest-codeword assignment consumes (m rows of ks codewords)."""
+    return books.groupBy("__sub").agg(
+        F.collect_list(F.struct("__code", "__cvec")).alias("__codes")
+    )
+
+
+def _nearest_code(subvec_col: Column | str, codes_col: Column | str) -> Column:
+    """argmin over the in-row codeword array — identical arithmetic
+    and (dist, code) tie-break as the former broadcast-join +
+    groupBy(__vid, __sub).min_by, without shuffling corpus × m scored
+    rows per Lloyd round (guide §2.4)."""
+    scored = F.transform(
+        _c(codes_col),
+        lambda c: F.struct(
+            _sq_dist(_c(subvec_col), c["__cvec"]).alias("__d"),
+            c["__code"].alias("__code"),
+        ),
+    )
+    return F.array_min(scored)["__code"]
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -571,16 +633,11 @@ def pq_codebooks(
         F.transform("__subvec", lambda x: x.cast("double")).alias("__cvec"),
     )
     for _ in range(iters):
-        scored = subs.join(F.broadcast(books), "__sub").select(
+        assigned = subs.join(F.broadcast(_book_arrays(books)), "__sub").select(
             "__vid",
             "__sub",
+            _nearest_code(F.col("__subvec"), F.col("__codes")).alias("__code"),
             "__subvec",
-            "__code",
-            _sq_dist("__subvec", "__cvec").alias("__d"),
-        )
-        assigned = scored.groupBy("__vid", "__sub").agg(
-            F.min_by("__code", F.struct("__d", "__code")).alias("__code"),
-            F.first("__subvec").alias("__subvec"),
         )
         books = (
             assigned.select(
@@ -631,12 +688,11 @@ def pq_encode(
     m=8, ks=16 that is 4 bytes/vector vs 256 for float32×64 — the 64×
     compression that lets a trillion-vector corpus live in RAM."""
     subs = _subvectors(corpus, m, id_col, vec_col, "__vid")
-    scored = subs.join(F.broadcast(books), "__sub").select(
-        "__vid", "__sub", "__code", _sq_dist("__subvec", "__cvec").alias("__d")
+    return subs.join(F.broadcast(_book_arrays(books)), "__sub").select(
+        F.col("__vid").alias(id_col),
+        "__sub",
+        _nearest_code(F.col("__subvec"), F.col("__codes")).alias("__code"),
     )
-    return scored.groupBy("__vid", "__sub").agg(
-        F.min_by("__code", F.struct("__d", "__code")).alias("__code")
-    ).select(F.col("__vid").alias(id_col), "__sub", "__code")
 
 
 def pq_knn(

@@ -77,22 +77,21 @@ def pagerank_fixed_point(
 
     for _ in range(iterations):
         # `div` is Spark's INTEGRAL division — (a*b)/c through doubles
-        # would lose exactness past 2^53 (rank_fp*w reaches ~1e16)
-        contrib = (
-            e.join(ranks, e.u == ranks.node)
-            .select(
-                F.col("v").alias("node"),
-                F.expr("(rank_fp * w) div w_out").alias("term"),
+        # would lose exactness past 2^53 (rank_fp*w reaches ~1e16).
+        # Nodes with no in-edges ride through the SAME groupBy as a
+        # zero term (sum(terms ∪ {0}) ≡ the former coalesce(in_sum, 0)
+        # after a left join) — one exchange per round instead of the
+        # groupBy + nodes-join pair (guide §2.4).
+        terms = e.join(ranks, e.u == ranks.node).select(
+            F.col("v").alias("node"),
+            F.expr("(rank_fp * w) div w_out").alias("term"),
+        )
+        ranks = truncate(
+            terms.unionByName(
+                nodes.select("node", F.lit(0).cast("long").alias("term"))
             )
             .groupBy("node")
             .agg(F.sum("term").alias("in_sum"))
-        )
-        ranks = truncate(
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                F.coalesce("in_sum", F.lit(0)).alias("in_sum"),
-            )
             .select(
                 "node",
                 (

@@ -56,6 +56,9 @@ def main() -> int:
             )
             with open(os.path.join(args.explain, f"{name}.txt"), "w") as f:
                 f.write(plan)
+        if args.runs <= 0:
+            print(f"   plan-only  {name}", flush=True)
+            continue
         samples = []
         for _ in range(args.runs):
             spark.sparkContext.setJobDescription(f"qbench:{name}")
