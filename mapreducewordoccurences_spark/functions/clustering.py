@@ -61,6 +61,26 @@ def _sq_dist(a, b):
     )
 
 
+def _best_cluster(vec_col, cents_col):
+    """argmin over the in-row centroid array: struct(sq_dist,
+    cluster_id) minimized lexicographically — the same total order
+    ``F.min(F.struct("sq_dist", "cluster_id"))`` used, evaluated in
+    one projection. The former shape broadcast-joined the centroid
+    TABLE and re-grouped the corpus by (id, vec) to run the argmin —
+    a corpus-sized shuffle per assignment pass whose grouping key
+    carried the whole quantized vector (guide §2.4: remove the
+    exchange, §2.3: never shuffle the payload to make a decision)."""
+    return F.array_min(
+        F.transform(
+            cents_col,
+            lambda ct: F.struct(
+                _sq_dist(vec_col, ct["c_vec"]).alias("sq_dist"),
+                ct["cluster_id"].alias("cluster_id"),
+            ),
+        )
+    )
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     id_col: str,
@@ -73,7 +93,14 @@ def kmeans_fit_predict(
     (id_col, cluster_id, sq_dist).
 
     Every returned number is an exact integer in quantized space —
-    bit-identical across engines and partitionings.
+    bit-identical across engines and partitionings. Assignment passes
+    are map-only (broadcast centroid array + in-row argmin fold); the
+    centroid update keeps the posexplode + (cluster, dim) groupBy
+    shape — partial aggregation collapses it to k × dim rows per map
+    partition before the exchange, so the shuffle is already
+    negligible at any scale (a per-dimension columnar-sums variant
+    was measured 2–5× SLOWER end-to-end in r12's interleaved A/B:
+    the 64-wide aggregate loses to explode + 2-field partial agg).
     """
     vecs = quantize_vectors(df.select(id_col, vec_col), vec_col)
 
@@ -88,24 +115,19 @@ def kmeans_fit_predict(
         )
     )
 
+    def _cents_arr(c: DataFrame) -> DataFrame:
+        return c.agg(
+            F.collect_list(F.struct("cluster_id", "c_vec")).alias("__cents")
+        )
+
     # ``iters`` assignment passes with a centroid update between each
     # consecutive pair (iters=2 ⇒ seeds → assign → update → assign)
     for _ in range(iters - 1):
-        scored = vecs.crossJoin(F.broadcast(centroids)).select(
-            id_col,
-            vec_col,
-            "cluster_id",
-            _sq_dist(F.col(vec_col), F.col("c_vec")).alias("sq_dist"),
-        )
-        assigned = (
-            scored.groupBy(id_col, vec_col)
-            .agg(F.min(F.struct("sq_dist", "cluster_id")).alias("__best"))
-            .select(
-                id_col,
-                vec_col,
-                F.col("__best.cluster_id").alias("cluster_id"),
-                F.col("__best.sq_dist").alias("sq_dist"),
-            )
+        assigned = vecs.crossJoin(F.broadcast(_cents_arr(centroids))).select(
+            _best_cluster(F.col(vec_col), F.col("__cents"))["cluster_id"].alias(
+                "cluster_id"
+            ),
+            F.col(vec_col),
         )
         # centroid update: exact integer mean per (cluster, dim);
         # truncating div == floor div on these non-negative sums
@@ -127,20 +149,12 @@ def kmeans_fit_predict(
         )
         centroids = centroids.localCheckpoint(eager=False)
 
-    # final assignment against the last refined centroids
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+    # final assignment against the last refined centroids — map-only
+    best = _best_cluster(F.col(vec_col), F.col("__cents"))
+    return vecs.crossJoin(F.broadcast(_cents_arr(centroids))).select(
         id_col,
-        "cluster_id",
-        _sq_dist(F.col(vec_col), F.col("c_vec")).alias("sq_dist"),
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.min(F.struct("sq_dist", "cluster_id")).alias("__best"))
-        .select(
-            id_col,
-            F.col("__best.cluster_id").alias("cluster_id"),
-            F.col("__best.sq_dist").alias("sq_dist"),
-        )
+        best["cluster_id"].alias("cluster_id"),
+        best["sq_dist"].alias("sq_dist"),
     )
 
 
