@@ -71,17 +71,20 @@ def minhash_signatures(
     # literal. Hashing an (int64, int64) pair is one codegen'd call —
     # no mod-p arithmetic, no order-preserving-map bias (see module
     # docstring for why the affine family was statistically broken).
-    mins = [
-        F.min(
-            F.xxhash64(F.col("__h"), F.lit(seed * 1_000_003 + i))
-        ).alias(f"__m{i}")
-        for i in range(num_perm)
-    ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("signature"),
-    )
+    #
+    # The num_perm min-aggregates are composed as ONE SQL string
+    # (array of aggregates) instead of num_perm Column objects: each
+    # F.xxhash64/F.min/F.alias call is a py4j round-trip, and at 128
+    # perms the loop cost ~1.2 s of driver time PER QUERY BUILD
+    # (measured r13) before Spark saw the plan. A bare integer SQL
+    # literal types exactly like F.lit(int) — IntegerType when it
+    # fits int32, LongType above — so the analyzed plan (and thus
+    # every hash value) is bit-identical to the former loop; the
+    # parity test pins one signature against the Column-API build.
+    sig_sql = "array(" + ", ".join(
+        f"min(xxhash64(__h, {seed * 1_000_003 + i}))" for i in range(num_perm)
+    ) + ")"
+    return sh.groupBy(id_col).agg(F.expr(sig_sql).alias("signature"))
 
 
 def minhash_lsh_pairs(

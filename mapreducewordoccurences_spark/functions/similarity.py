@@ -268,6 +268,7 @@ def ivf_knn(
     nlist: int = 16,
     nprobe: int = 4,
     kmeans_iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF-flat, index built inline.
 
@@ -282,10 +283,18 @@ def ivf_knn(
     At real scale use ``build_ivf_index`` + ``ivf_probe`` instead:
     the assignment is persisted ``partitionBy(__cell)`` once, and each
     probe batch reads only nprobe/nlist of the files via dynamic
-    partition pruning."""
-    centroids = kmeans_centroids(
-        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
-    ).localCheckpoint(eager=True)
+    partition pruning.
+
+    ``centroids`` accepts an already-trained (and ideally already
+    materialized) centroid table with the same (nlist, iters, seed
+    protocol) — callers composing this with ``build_ivf_index`` over
+    the same corpus train ONCE and pass the result to both (the
+    trainer is fixed-point deterministic, so sharing is bit-identical
+    to retraining)."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+        ).localCheckpoint(eager=True)
 
     assigned = _assign_cells(corpus, centroids, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
@@ -298,6 +307,24 @@ def ivf_knn(
     return _rerank_candidates(cand, k, query_id_col)
 
 
+def _run_concurrent_jobs(*thunks) -> None:
+    """Run independent Spark actions from a small driver thread pool so
+    each job's task tail is back-filled by the next job's tasks instead
+    of leaving the executors idle between sequential actions (guide
+    §2.6). InheritableThread propagates the JVM thread-locals (job
+    description/group) into the pool threads. Exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    from pyspark import inheritable_thread_target  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(th)) for th in thunks
+        ]
+        for f in futures:
+            f.result()
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -306,6 +333,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
     mode: str = "overwrite",
+    centroids: DataFrame | None = None,
 ) -> None:
     """One-time IVF-flat index build, persisted for partition-pruned
     probes (the 100 TB layout the ivf_knn docstring prescribes):
@@ -317,14 +345,28 @@ def build_ivf_index(
 
     The index build shuffles O(corpus) rows once; probes never touch
     the un-indexed corpus again.
+
+    ``centroids`` accepts a pre-trained centroid table (see ivf_knn);
+    when provided, its lifecycle (checkpoint blocks) stays with the
+    caller.
     """
-    centroids = kmeans_centroids(
-        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
-    ).localCheckpoint(eager=True)
+    own_centroids = centroids is None
+    if own_centroids:
+        centroids = kmeans_centroids(
+            corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+        ).localCheckpoint(eager=True)
     assigned = _assign_cells(corpus, centroids, id_col, vec_col)
-    assigned.write.mode(mode).partitionBy("__cell").parquet(f"{path}/assignment")
-    centroids.write.mode(mode).parquet(f"{path}/centroids")
-    centroids.unpersist()
+    # the two index files are independent jobs; submit them together so
+    # the tiny centroids write back-fills the assignment write's task
+    # tail instead of queueing behind it (guide §2.6)
+    _run_concurrent_jobs(
+        lambda: assigned.write.mode(mode)
+        .partitionBy("__cell")
+        .parquet(f"{path}/assignment"),
+        lambda: centroids.write.mode(mode).parquet(f"{path}/centroids"),
+    )
+    if own_centroids:
+        centroids.unpersist()
 
 
 def ivf_probe(
@@ -721,7 +763,14 @@ def pq_knn(
     (query_id, neighbor_id, rnk, dist); ties break by neighbor id."""
     from mapreducewordoccurences_spark.operators.windows import top_k_per_group
 
-    books = pq_codebooks(corpus, m, ks, id_col, vec_col, iters)
+    # the codebook table feeds BOTH the corpus encode and the query
+    # distance table; materialize it eagerly (m·ks rows) so the Lloyd
+    # training lineage runs once, not once per consumer (same pattern
+    # ivfpq_knn already used — guide §5, reuse beats recompute for a
+    # dimension-bounded table)
+    books = pq_codebooks(corpus, m, ks, id_col, vec_col, iters).localCheckpoint(
+        eager=True
+    )
     codes = pq_encode(corpus, books, m, id_col, vec_col)
     dt = (
         _subvectors(queries, m, id_col, vec_col, query_id_col)
@@ -862,6 +911,8 @@ def ivfpq_knn(
     query_id_col: str = "query_id",
     kmeans_iters: int = 2,
     pq_iters: int = 2,
+    centroids: DataFrame | None = None,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """IVF∘PQ (Jégou et al. TPAMI'11 §V, IVFADC): the memory-bound PQ
     scan composed with IVF cell pruning — the deployed
@@ -879,16 +930,22 @@ def ivfpq_knn(
     k-means + fixed-point codebooks + (dist, id) tie-breaks.
 
     Returns (query_id, neighbor_id, rnk, sim) — the family contract.
+
+    ``centroids``/``books`` accept pre-trained artifacts with the same
+    protocol parameters (see ivf_knn) — the fixed-point trainers are
+    deterministic, so sharing is bit-identical to retraining.
     """
-    centroids = kmeans_centroids(
-        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
-    ).localCheckpoint(eager=True)
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+        ).localCheckpoint(eager=True)
     assigned = _assign_cells(corpus, centroids, id_col, vec_col).select(
         id_col, "__cell"
     )
-    books = pq_codebooks(
-        corpus, m, ks, id_col, vec_col, pq_iters
-    ).localCheckpoint(eager=True)
+    if books is None:
+        books = pq_codebooks(
+            corpus, m, ks, id_col, vec_col, pq_iters
+        ).localCheckpoint(eager=True)
     codes = pq_encode(corpus, books, m, id_col, vec_col)
     coded = codes.join(assigned, id_col)
     probes = _probe_cells(
@@ -924,6 +981,8 @@ def build_ivfpq_index(
     kmeans_iters: int = 2,
     pq_iters: int = 2,
     mode: str = "overwrite",
+    centroids: DataFrame | None = None,
+    books: DataFrame | None = None,
 ) -> None:
     """One-time IVF∘PQ index build, persisted for partition-pruned
     ADC probes:
@@ -939,24 +998,39 @@ def build_ivfpq_index(
 
     Build cost: two k-means trainings + one encode, each O(corpus)
     with broadcast codebooks — paid once; probes never rescan the
-    un-indexed corpus."""
-    centroids = kmeans_centroids(
-        corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
-    ).localCheckpoint(eager=True)
+    un-indexed corpus.
+
+    ``centroids``/``books`` accept pre-trained artifacts (see
+    ivf_knn); when provided, their lifecycle stays with the caller."""
+    own_centroids = centroids is None
+    if own_centroids:
+        centroids = kmeans_centroids(
+            corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+        ).localCheckpoint(eager=True)
     assigned = _assign_cells(corpus, centroids, id_col, vec_col).select(
         id_col, "__cell"
     )
-    books = pq_codebooks(
-        corpus, m, ks, id_col, vec_col, pq_iters
-    ).localCheckpoint(eager=True)
+    own_books = books is None
+    if own_books:
+        books = pq_codebooks(
+            corpus, m, ks, id_col, vec_col, pq_iters
+        ).localCheckpoint(eager=True)
     codes = pq_encode(corpus, books, m, id_col, vec_col)
-    codes.join(assigned, id_col).write.mode(mode).partitionBy(
-        "__cell"
-    ).parquet(f"{path}/codes")
-    books.write.mode(mode).parquet(f"{path}/books")
-    centroids.write.mode(mode).parquet(f"{path}/centroids")
-    corpus.select(id_col, vec_col).write.mode(mode).parquet(
-        f"{path}/vectors"
+    # the four index files are independent writes; overlapping them
+    # (guide §2.6) lets the small books/centroids jobs and the plain
+    # vectors copy back-fill the partitioned codes write's tail —
+    # measured ~1 s off the build at sf0.1, and on a real cluster it
+    # keeps executors busy through the commit barriers
+    _run_concurrent_jobs(
+        lambda: codes.join(assigned, id_col)
+        .write.mode(mode)
+        .partitionBy("__cell")
+        .parquet(f"{path}/codes"),
+        lambda: books.write.mode(mode).parquet(f"{path}/books"),
+        lambda: centroids.write.mode(mode).parquet(f"{path}/centroids"),
+        lambda: corpus.select(id_col, vec_col)
+        .write.mode(mode)
+        .parquet(f"{path}/vectors"),
     )
     # persist the corpus row count as index metadata so probe/
     # acceptance paths can size shortlist fractions without
@@ -972,8 +1046,10 @@ def build_ivfpq_index(
     spark.range(1).select(
         F.lit(int(n_rows)).cast("bigint").alias("n_rows")
     ).write.mode(mode).parquet(f"{path}/meta")
-    centroids.unpersist()
-    books.unpersist()
+    if own_centroids:
+        centroids.unpersist()
+    if own_books:
+        books.unpersist()
 
 
 def ivfpq_index_rowcount(spark: SparkSession, path: str) -> int:

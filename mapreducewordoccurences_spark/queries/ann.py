@@ -1030,9 +1030,32 @@ def _probe_vs_inline(
     """Shared shape of the two persisted-lifecycle rows: recall
     acceptance of the PROBE output, plus a single cross-engine-checkable
     boolean that the probe and the inline composition agree exactly.
-    The symmetric exceptAll is tiny (|queries| x k rows per side)."""
+    The symmetric exceptAll is tiny (|queries| x k rows per side).
+
+    The probe/inline outputs are |queries|·k rows but their LINEAGE is
+    the whole index scan + re-rank; without materialization the final
+    plan embeds the probe subtree three times (both exceptAll sides +
+    the recall join) and the inline subtree twice, and Spark re-executes
+    each copy (guide §5: reuse beats recompute). localCheckpoint pins
+    each to one execution and truncates the optimizer's tree."""
+    from mapreducewordoccurences_spark.functions.similarity import (
+        _run_concurrent_jobs,
+    )
+
     cols = ["query_id", "neighbor_id", "rnk", "sim"]
-    p, i = probe_out.select(*cols), inline_out.select(*cols)
+    out: dict[str, DataFrame] = {}
+
+    def _ck(key: str, df: DataFrame):
+        def run():
+            out[key] = df.select(*cols).localCheckpoint(eager=True)
+
+        return run
+
+    # the probe and inline subtrees are independent jobs — overlap
+    # their materialization (guide §2.6)
+    _run_concurrent_jobs(_ck("p", probe_out), _ck("i", inline_out))
+    probe_out, inline_out = out["p"], out["i"]
+    p, i = probe_out, inline_out
     n_diff = (
         p.exceptAll(i)
         .unionByName(i.exceptAll(p))
@@ -1067,14 +1090,24 @@ def q_embedding_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index,
         ivf_knn,
         ivf_probe,
+        kmeans_centroids,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     path = _index_scratch(sf_dir, "ivf")
-    build_ivf_index(emb, path, nlist=16)
+    # train ONCE and hand the same centroid table to the index build
+    # and the inline composition: the fixed-point trainer is
+    # deterministic, so the former retrain-per-consumer produced a
+    # bit-identical table at 2x the Lloyd cost (guide §1.2 — don't
+    # compute things twice). The probe path still exercises the full
+    # on-disk lifecycle: it reads centroids back from the index files.
+    centroids = kmeans_centroids(emb, 16).localCheckpoint(eager=True)
+    build_ivf_index(emb, path, nlist=16, centroids=centroids)
     probe_out = ivf_probe(queries, path, k=5, nprobe=4)
-    inline_out = ivf_knn(emb, queries, k=5, nlist=16, nprobe=4)
+    inline_out = ivf_knn(
+        emb, queries, k=5, nlist=16, nprobe=4, centroids=centroids
+    )
     exact = brute_force_knn(emb, queries, k=5)
     return _probe_vs_inline(probe_out, inline_out, exact, queries)
 
@@ -1097,16 +1130,40 @@ def q_embedding_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall floor. This is the layout the 100 TB story actually
     deploys — codes in RAM-sized files, vectors fetched id-keyed."""
     from mapreducewordoccurences_spark.functions.similarity import (
+        _run_concurrent_jobs,
         build_ivfpq_index,
         ivfpq_index_rowcount,
         ivfpq_knn,
         ivfpq_probe,
+        kmeans_centroids,
+        pq_codebooks,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     path = _index_scratch(sf_dir, "ivfpq")
-    build_ivfpq_index(emb, path, nlist=16, m=16, ks=16)
+    # train ONCE (coarse centroids + PQ codebooks) and hand the same
+    # tables to the index build and the inline composition — the
+    # fixed-point trainers are deterministic, so the former
+    # retrain-per-consumer produced bit-identical tables at 2x the
+    # cost (guide §1.2). The probe path still reads its centroids and
+    # codebooks back from the index files (the on-disk lifecycle
+    # under test is unchanged).
+    # the coarse quantizer and the PQ codebooks are independent
+    # trainings — overlap them (guide §2.6)
+    trained: dict[str, DataFrame] = {}
+    _run_concurrent_jobs(
+        lambda: trained.__setitem__(
+            "c", kmeans_centroids(emb, 16).localCheckpoint(eager=True)
+        ),
+        lambda: trained.__setitem__(
+            "b", pq_codebooks(emb, 16, 16).localCheckpoint(eager=True)
+        ),
+    )
+    centroids, books = trained["c"], trained["b"]
+    build_ivfpq_index(
+        emb, path, nlist=16, m=16, ks=16, centroids=centroids, books=books
+    )
     # shortlist fraction sized from the count RECORDED AT BUILD TIME —
     # no extra corpus scan in the probe/acceptance path (VERDICT r10 #7)
     shortlist = max(100, ivfpq_index_rowcount(spark, path) // 80)
@@ -1115,7 +1172,7 @@ def q_embedding_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inline_out = ivfpq_knn(
         emb, queries, k=5, nlist=16, nprobe=4, shortlist=shortlist, m=16,
-        ks=16,
+        ks=16, centroids=centroids, books=books,
     )
     exact = brute_force_knn(emb, queries, k=5)
     return _probe_vs_inline(probe_out, inline_out, exact, queries)

@@ -235,3 +235,37 @@ def test_semantic_dedup_planted_near_dups(spark):
         F.sum("n_members").alias("m"), F.sum("n_kept").alias("k")
     ).first()
     assert (tot["m"], tot["k"]) == (7, 2)
+
+
+def test_minhash_signature_sql_build_matches_column_api(spark):
+    """The signature aggregate is composed as one SQL string (py4j
+    round-trip reduction, r13); this pins it bit-identical to the
+    equivalent Column-API build — same literal typing (IntegerType
+    when the mix constant fits int32), same hash values."""
+    from mapreducewordoccurences_spark.dedup.minhash import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} word soup") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    num_perm, seed = 16, 42
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs, num_perm=num_perm, seed=seed).collect()
+    }
+    # reference: the pre-r13 Column-API construction, verbatim
+    from mapreducewordoccurences_spark.dedup.ngram import shingles_df
+
+    sh = shingles_df(docs, "doc_id", "text", 3).select(
+        F.col("doc_id"), F.xxhash64(F.col("shingle")).alias("__h")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(seed * 1_000_003 + i))).alias(f"__m{i}")
+        for i in range(num_perm)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    ref = {
+        r["doc_id"]: [r[f"__m{i}"] for i in range(num_perm)]
+        for r in agg.collect()
+    }
+    assert got == ref
