@@ -935,17 +935,37 @@ def ivfpq_knn(
     protocol parameters (see ivf_knn) — the fixed-point trainers are
     deterministic, so sharing is bit-identical to retraining.
     """
-    if centroids is None:
+    if centroids is None and books is None:
+        # the coarse quantizer and the PQ codebooks are independent
+        # trainings — materialize them concurrently (guide §2.6)
+        trained: dict[str, DataFrame] = {}
+        _run_concurrent_jobs(
+            lambda: trained.__setitem__(
+                "c",
+                kmeans_centroids(
+                    corpus, nlist, id_col=id_col, vec_col=vec_col,
+                    iters=kmeans_iters,
+                ).localCheckpoint(eager=True),
+            ),
+            lambda: trained.__setitem__(
+                "b",
+                pq_codebooks(
+                    corpus, m, ks, id_col, vec_col, pq_iters
+                ).localCheckpoint(eager=True),
+            ),
+        )
+        centroids, books = trained["c"], trained["b"]
+    elif centroids is None:
         centroids = kmeans_centroids(
             corpus, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+        ).localCheckpoint(eager=True)
+    elif books is None:
+        books = pq_codebooks(
+            corpus, m, ks, id_col, vec_col, pq_iters
         ).localCheckpoint(eager=True)
     assigned = _assign_cells(corpus, centroids, id_col, vec_col).select(
         id_col, "__cell"
     )
-    if books is None:
-        books = pq_codebooks(
-            corpus, m, ks, id_col, vec_col, pq_iters
-        ).localCheckpoint(eager=True)
     codes = pq_encode(corpus, books, m, id_col, vec_col)
     coded = codes.join(assigned, id_col)
     probes = _probe_cells(

@@ -877,6 +877,10 @@ def q_mmr_diversified_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_diversified_topk,
     )
 
+    from mapreducewordoccurences_spark.functions.similarity import (
+        _run_concurrent_jobs,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.where(F.col("vec_id") == 0)
     sl = ivf_knn(emb, probe, k=40, nlist=16, nprobe=4)
@@ -884,13 +888,24 @@ def q_mmr_diversified_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # since r11 the greedy is a lazy distributed stage, so without a
     # cut the whole ivf_knn + greedy subtree would evaluate twice —
     # pin the ≤ k-row selection once (bounded, the kmeans-centroid
-    # caching contract)
-    ivf_sel = mmr_diversified_topk(
-        emb, probe, k=8, lam=0.7, mu=0.3, shortlist_df=sl
-    ).localCheckpoint(eager=True)
-    exact_sel = mmr_diversified_topk(
-        emb, probe, k=8, shortlist=40, lam=0.7, mu=0.3
+    # caching contract). The IVF-tier and exact-tier selections are
+    # independent jobs; materialize them concurrently (guide §2.6).
+    sel: dict[str, DataFrame] = {}
+    _run_concurrent_jobs(
+        lambda: sel.__setitem__(
+            "ivf",
+            mmr_diversified_topk(
+                emb, probe, k=8, lam=0.7, mu=0.3, shortlist_df=sl
+            ).localCheckpoint(eager=True),
+        ),
+        lambda: sel.__setitem__(
+            "exact",
+            mmr_diversified_topk(
+                emb, probe, k=8, shortlist=40, lam=0.7, mu=0.3
+            ).localCheckpoint(eager=True),
+        ),
     )
+    ivf_sel, exact_sel = sel["ivf"], sel["exact"]
     shared = ivf_sel.join(
         exact_sel.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )

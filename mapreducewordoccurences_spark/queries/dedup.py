@@ -827,11 +827,19 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0))
         .select("doc_a", "doc_b")
     )
-    hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    # both counts from ONE left-join aggregate (the r9
+    # dedup_minhash_lsh pattern): the exact prefix-filter SSJoin is
+    # the expensive subtree here, and the former two-aggregate shape
+    # (hits join + separate n_exact agg) evaluated it twice
+    counted = exact.join(
+        lsh.select("doc_a", "doc_b", F.lit(1).alias("__hit")),
+        ["doc_a", "doc_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__hit").alias("n_hits"),
     )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    return n_exact.crossJoin(F.broadcast(hits)).select(
+    return counted.select(
         F.col("n_exact").alias("n_exact_cross_pairs"),
         (
             (F.col("n_exact") == 0)
@@ -981,11 +989,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``semantic_dedup_recall_audit`` measures what the cell
     restriction misses."""
     from mapreducewordoccurences_spark.dedup.embedding import (
+        derive_semdedup_k,
         semantic_dedup_profile,
     )
+    from mapreducewordoccurences_spark.sources.readers import parquet_row_count
 
+    # k from parquet FOOTER metadata (same rule, same value as the
+    # former df.count()) — no full-scan count job at query build
+    # (the r12 footer-count pattern, VERDICT r11 #5)
+    k = derive_semdedup_k(parquet_row_count(sf_dir, "embeddings"), 150)
     return semantic_dedup_profile(
-        _t(spark, sf_dir, "embeddings"), iters=2, threshold=0.4
+        _t(spark, sf_dir, "embeddings"), k=k, iters=2, threshold=0.4
     )
 
 
