@@ -117,6 +117,16 @@ def exact_verify_pairs(
             "__sh"
         ),
     )
+    # the gram table feeds BOTH enrichment joins; without a cache the
+    # tokenize+shingle+hash pass over the corpus runs once per join
+    # (two full corpus scans — guide §5, reuse beats recompute). The
+    # persist is lazy (no barrier): the first consumer populates it,
+    # the second reads the cached (id, hashed-shingle-array) rows.
+    # Same lifecycle contract as the candidate persist below
+    # (persist_registry / exact_verify_scoped / session clearCache).
+    grams = grams.persist()
+    if persist_registry is not None:
+        persist_registry.append(grams)
     scored = (
         cand.select("doc_a", "doc_b")
         .join(

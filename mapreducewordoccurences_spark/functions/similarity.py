@@ -1055,26 +1055,72 @@ def build_ivfpq_index(
     # persist the corpus row count as index metadata so probe/
     # acceptance paths can size shortlist fractions without
     # re-counting the corpus (VERDICT r10 #7). Counting the JUST-
-    # WRITTEN vectors is footer-metadata work (empty projection over
-    # known files), not a corpus re-scan. The 1-row meta frame is
-    # built JVM-side (range + lit): a local-list createDataFrame
-    # would launch a Python worker and cost ~4 s per build (measured),
-    # and an Observation on the vectors write pays a similar listener
-    # round-trip — both dwarf the row they produce.
+    # WRITTEN vectors is footer-metadata work; since r13 both the
+    # count and the 1-row meta write happen DRIVER-SIDE via pyarrow
+    # (zero Spark jobs — the former spark.read.count + spark.range
+    # write pair cost ~0.5 s of job latency per build; a local-list
+    # createDataFrame was worse still, ~4 s, measured r12). Falls
+    # back to the Spark pair on non-local filesystems, where pyarrow
+    # cannot reach the index path directly.
     spark = corpus.sparkSession
-    n_rows = spark.read.parquet(f"{path}/vectors").count()
-    spark.range(1).select(
-        F.lit(int(n_rows)).cast("bigint").alias("n_rows")
-    ).write.mode(mode).parquet(f"{path}/meta")
+    try:
+        _write_meta_rowcount_local(f"{path}/vectors", f"{path}/meta")
+    except OSError:
+        n_rows = spark.read.parquet(f"{path}/vectors").count()
+        spark.range(1).select(
+            F.lit(int(n_rows)).cast("bigint").alias("n_rows")
+        ).write.mode(mode).parquet(f"{path}/meta")
     if own_centroids:
         centroids.unpersist()
     if own_books:
         books.unpersist()
 
 
+def _write_meta_rowcount_local(vectors_dir: str, meta_dir: str) -> None:
+    """Sum the just-written vector files' parquet FOOTER row counts and
+    write the 1-row meta table, all driver-side via pyarrow — no Spark
+    job for either step. Local-filesystem paths only (OSError
+    propagates for the caller's Spark fallback)."""
+    import os  # noqa: PLC0415
+
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _dirs, files in os.walk(vectors_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    os.makedirs(meta_dir, exist_ok=True)
+    # clear prior part files (overwrite semantics, matching the Spark
+    # writer this replaces)
+    for f in os.listdir(meta_dir):
+        if f.endswith((".parquet", ".crc")) or f == "_SUCCESS":
+            os.remove(os.path.join(meta_dir, f))
+    pq.write_table(
+        pa.table({"n_rows": pa.array([n_rows], type=pa.int64())}),
+        os.path.join(meta_dir, "part-00000-meta.parquet"),
+    )
+
+
 def ivfpq_index_rowcount(spark: SparkSession, path: str) -> int:
     """Corpus row count recorded at ``build_ivfpq_index`` time — one
-    1-row parquet read instead of a full corpus scan."""
+    1-row parquet read instead of a full corpus scan. Read driver-side
+    via pyarrow when the path is local (no Spark job); Spark read
+    otherwise."""
+    try:
+        import os  # noqa: PLC0415
+
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        meta_dir = f"{path}/meta"
+        for f in sorted(os.listdir(meta_dir)):
+            if f.endswith(".parquet"):
+                tbl = pq.read_table(os.path.join(meta_dir, f))
+                return int(tbl.column("n_rows")[0].as_py())
+    except OSError:
+        pass
     return int(spark.read.parquet(f"{path}/meta").head()[0])
 
 
