@@ -94,7 +94,9 @@ class TestScopedVerifyCache:
                 # the cached RDD registers once materialized
                 n_in_scope = self._n_cached(spark)
             assert self._n_cached(spark) == base
-        assert n_in_scope == base + 1  # the scope did actually cache
+        # the scope did actually cache: the candidate set plus (r13)
+        # the gram table, both released on exit
+        assert n_in_scope == base + 2
 
     def test_registry_receives_handle(self, spark):
         from mapreducewordoccurences_spark.dedup.verify import (
@@ -109,8 +111,10 @@ class TestScopedVerifyCache:
             persist_registry=reg,
         )
         assert out.count() >= 0
-        assert len(reg) == 1
-        reg[0].unpersist()
+        # candidate set + (r13) the gram table
+        assert len(reg) == 2
+        for h in reg:
+            h.unpersist()
 
     def test_caller_persisted_cand_not_registered(self, spark):
         """A caller-persisted cand keeps its lifecycle: no new persist
@@ -129,7 +133,10 @@ class TestScopedVerifyCache:
                 persist_registry=reg,
             )
             assert out.count() >= 0
-            assert reg == []
+            # no candidate persist is taken; only (r13) the gram table
+            # lands in the registry
+            assert len(reg) == 1
+            reg[0].unpersist()
         finally:
             cand.unpersist()
 
